@@ -1,0 +1,175 @@
+"""Checkpoint ingestion: diffusers-format safetensors -> textflux-tpu pytrees.
+
+Torch-free: reads safetensors directly into numpy and remaps names/layouts.
+Linear weights transpose from torch's (out, in) to our (in, out); per-stream
+q/k/v projections concatenate into the fused qkv matrices; the single-block
+qkv+mlp fusion concatenates four projections.
+
+Name map source (for parity auditing): the diffusers FluxTransformer2DModel
+module tree, /root/reference/diffusers/.../transformer_flux.py:675-922.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Mapping
+
+import numpy as np
+import jax.numpy as jnp
+
+from textflux_tpu.config import FluxConfig
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load every *.safetensors shard in a directory (or a single file) into one dict."""
+    from safetensors import safe_open
+
+    files = []
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+    elif path.endswith(".safetensors"):
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no safetensors found under {path}")
+    out: Dict[str, np.ndarray] = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as reader:
+            for name in reader.keys():
+                out[name] = reader.get_tensor(name)
+    return out
+
+
+def _lin_w(sd: StateDict, name: str) -> np.ndarray:
+    # safetensors' numpy reader yields ml_dtypes.bfloat16 arrays for bf16 shards;
+    # numpy ops (T/concat/stack) handle them natively.
+    return np.asarray(sd[f"{name}.weight"]).T
+
+
+def _lin(sd: StateDict, name: str) -> dict:
+    p = {"w": _lin_w(sd, name)}
+    if f"{name}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _mlp(sd: StateDict, fc1: str, fc2: str) -> dict:
+    return {"fc1": _lin(sd, fc1), "fc2": _lin(sd, fc2)}
+
+
+def _cat_lin(*linears: dict) -> dict:
+    """Concatenate linear params along the output dim (for fused projections)."""
+    return {
+        "w": np.concatenate([l["w"] for l in linears], axis=-1),
+        "b": np.concatenate([l["b"] for l in linears], axis=-1),
+    }
+
+
+def _stack_np(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def convert_flux_state_dict(sd: StateDict, cfg: FluxConfig) -> dict:
+    """Map a diffusers FluxTransformer2DModel state dict onto our param pytree."""
+
+    def double(i: int) -> dict:
+        pre = f"transformer_blocks.{i}"
+        return {
+            "img_mod": _lin(sd, f"{pre}.norm1.linear"),
+            "txt_mod": _lin(sd, f"{pre}.norm1_context.linear"),
+            "img_qkv": _cat_lin(
+                _lin(sd, f"{pre}.attn.to_q"),
+                _lin(sd, f"{pre}.attn.to_k"),
+                _lin(sd, f"{pre}.attn.to_v"),
+            ),
+            "txt_qkv": _cat_lin(
+                _lin(sd, f"{pre}.attn.add_q_proj"),
+                _lin(sd, f"{pre}.attn.add_k_proj"),
+                _lin(sd, f"{pre}.attn.add_v_proj"),
+            ),
+            "img_q_scale": np.asarray(sd[f"{pre}.attn.norm_q.weight"]),
+            "img_k_scale": np.asarray(sd[f"{pre}.attn.norm_k.weight"]),
+            "txt_q_scale": np.asarray(sd[f"{pre}.attn.norm_added_q.weight"]),
+            "txt_k_scale": np.asarray(sd[f"{pre}.attn.norm_added_k.weight"]),
+            "img_proj": _lin(sd, f"{pre}.attn.to_out.0"),
+            "txt_proj": _lin(sd, f"{pre}.attn.to_add_out"),
+            "img_mlp": _mlp(sd, f"{pre}.ff.net.0.proj", f"{pre}.ff.net.2"),
+            "txt_mlp": _mlp(sd, f"{pre}.ff_context.net.0.proj", f"{pre}.ff_context.net.2"),
+        }
+
+    def single(i: int) -> dict:
+        pre = f"single_transformer_blocks.{i}"
+        return {
+            "mod": _lin(sd, f"{pre}.norm.linear"),
+            "linear1": _cat_lin(
+                _lin(sd, f"{pre}.attn.to_q"),
+                _lin(sd, f"{pre}.attn.to_k"),
+                _lin(sd, f"{pre}.attn.to_v"),
+                _lin(sd, f"{pre}.proj_mlp"),
+            ),
+            "q_scale": np.asarray(sd[f"{pre}.attn.norm_q.weight"]),
+            "k_scale": np.asarray(sd[f"{pre}.attn.norm_k.weight"]),
+            "linear2": _lin(sd, f"{pre}.proj_out"),
+        }
+
+    params = {
+        "img_in": _lin(sd, "x_embedder"),
+        "txt_in": _lin(sd, "context_embedder"),
+        "time_in": _mlp(sd, "time_text_embed.timestep_embedder.linear_1",
+                        "time_text_embed.timestep_embedder.linear_2"),
+        "vector_in": _mlp(sd, "time_text_embed.text_embedder.linear_1",
+                          "time_text_embed.text_embedder.linear_2"),
+        "final_mod": _lin(sd, "norm_out.linear"),
+        "final_proj": _lin(sd, "proj_out"),
+        "double": _stack_np([double(i) for i in range(cfg.num_double_layers)]),
+        "single": _stack_np([single(i) for i in range(cfg.num_single_layers)]),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = _mlp(sd, "time_text_embed.guidance_embedder.linear_1",
+                                     "time_text_embed.guidance_embedder.linear_2")
+    return params
+
+
+def to_device_params(params, dtype=jnp.bfloat16, put: Callable = jnp.asarray):
+    """Cast a numpy param tree to device arrays. Norm scales stay float32."""
+    import jax
+
+    def cast(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name.endswith("scale"):
+            return put(np.asarray(x, np.float32))
+        return put(np.asarray(x)).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16):
+    """Load a diffusers-format transformer checkpoint directory.
+
+    Expects ``path`` to contain safetensors shards (and optionally config.json,
+    which is validated against ``cfg`` when present).
+    """
+    config_file = os.path.join(path, "config.json")
+    if os.path.exists(config_file):
+        with open(config_file) as f:
+            ref = json.load(f)
+        checks = {
+            "in_channels": cfg.in_channels,
+            "num_layers": cfg.num_double_layers,
+            "num_single_layers": cfg.num_single_layers,
+            "num_attention_heads": cfg.num_heads,
+            "attention_head_dim": cfg.head_dim,
+        }
+        for k, ours in checks.items():
+            if k in ref and ref[k] != ours:
+                raise ValueError(f"checkpoint {k}={ref[k]} != config {ours}")
+    sd = load_safetensors_dir(path)
+    return to_device_params(convert_flux_state_dict(sd, cfg), dtype=dtype)

@@ -1,0 +1,5 @@
+from textflux_tpu.models.transformer import (  # noqa: F401
+    init_flux_params,
+    flux_apply,
+    flux_param_count,
+)

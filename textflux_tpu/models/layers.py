@@ -1,0 +1,75 @@
+"""Shared functional building blocks (param-pytree style).
+
+All linears store weights as (in, out) so application is ``x @ w + b`` — the
+natural MXU layout. Norms compute in float32 and cast back to the activation
+dtype (matching the reference's mixed-precision behavior).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_init(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True, scale: Optional[float] = None):
+    if scale is None:
+        scale = 1.0 / math.sqrt(d_in)
+    p = {"w": jax.random.uniform(key, (d_in, d_out), jnp.float32, -scale, scale)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def dense(p, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Affine-free LayerNorm in float32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """RMSNorm with learned scale, variance in float32."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * scale.astype(x.dtype)
+
+
+def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal embedding, [cos | sin] order (flip_sin_to_cos=True, shift=0).
+
+    Mirrors get_timestep_embedding (/root/reference/diffusers/.../embeddings.py:27-79)
+    but computes in float32 regardless of activation dtype.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def mlp_init(key: jax.Array, d_in: int, d_hidden: int, d_out: int):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": dense_init(k1, d_in, d_hidden), "fc2": dense_init(k2, d_hidden, d_out)}

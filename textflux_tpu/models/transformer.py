@@ -1,0 +1,248 @@
+"""FLUX-style MM-DiT: 19 double-stream + 38 single-stream blocks, scan-stacked.
+
+TPU-first design choices (vs the reference's per-block nn.ModuleList,
+/root/reference/diffusers/.../transformer_flux.py:675-1212):
+
+- **Scan over stacked block params**: all double blocks share one traced body
+  (`lax.scan` over leading-axis-stacked weights), likewise singles. One block is
+  compiled instead of 57, and remat/checkpointing applies per scan step.
+- **Fused projections**: q,k,v are one (D, 3D) matmul per stream; the single
+  block fuses qkv+mlp-in into one (D, 3D+4D) matmul and attn-out+mlp-out into
+  one (D+4D, D) matmul — larger MXU tiles, fewer HBM round trips.
+- **RoPE tables precomputed on host** (float64) and passed as arrays.
+- Norms/AdaLN/softmax in float32, matmuls in the activation dtype (bf16).
+
+Parameter layout is this framework's own; ``textflux_tpu.io.params`` maps
+diffusers checkpoints onto it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from textflux_tpu.config import FluxConfig
+from textflux_tpu.models.layers import (
+    dense,
+    dense_init,
+    gelu_tanh,
+    layer_norm,
+    mlp_init,
+    rms_norm,
+    silu,
+    timestep_embedding,
+)
+from textflux_tpu.ops.attention import dot_product_attention
+from textflux_tpu.ops.rope import apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def _double_block_init(key: jax.Array, cfg: FluxConfig):
+    d, m = cfg.hidden_dim, cfg.mlp_dim
+    ks = jax.random.split(key, 10)
+    return {
+        "img_mod": dense_init(ks[0], d, 6 * d),
+        "txt_mod": dense_init(ks[1], d, 6 * d),
+        "img_qkv": dense_init(ks[2], d, 3 * d),
+        "txt_qkv": dense_init(ks[3], d, 3 * d),
+        "img_q_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "img_k_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "txt_q_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "txt_k_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "img_proj": dense_init(ks[4], d, d),
+        "txt_proj": dense_init(ks[5], d, d),
+        "img_mlp": mlp_init(ks[6], d, m, d),
+        "txt_mlp": mlp_init(ks[7], d, m, d),
+    }
+
+
+def _single_block_init(key: jax.Array, cfg: FluxConfig):
+    d, m = cfg.hidden_dim, cfg.mlp_dim
+    ks = jax.random.split(key, 3)
+    return {
+        "mod": dense_init(ks[0], d, 3 * d),
+        "linear1": dense_init(ks[1], d, 3 * d + m),
+        "q_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "k_scale": jnp.ones((cfg.head_dim,), jnp.float32),
+        "linear2": dense_init(ks[2], d + m, d),
+    }
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+
+def init_flux_params(key: jax.Array, cfg: FluxConfig):
+    d = cfg.hidden_dim
+    ks = jax.random.split(key, 8 + cfg.num_double_layers + cfg.num_single_layers)
+    params = {
+        "img_in": dense_init(ks[0], cfg.in_channels, d),
+        "txt_in": dense_init(ks[1], cfg.joint_dim, d),
+        "time_in": mlp_init(ks[2], cfg.time_embed_channels, d, d),
+        "vector_in": mlp_init(ks[3], cfg.pooled_dim, d, d),
+        "final_mod": dense_init(ks[4], d, 2 * d),
+        "final_proj": dense_init(ks[5], d, cfg.out_channels),
+        "double": _stack([
+            _double_block_init(ks[8 + i], cfg) for i in range(cfg.num_double_layers)
+        ]),
+        "single": _stack([
+            _single_block_init(ks[8 + cfg.num_double_layers + i], cfg)
+            for i in range(cfg.num_single_layers)
+        ]),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = mlp_init(ks[6], cfg.time_embed_channels, d, d)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, -1)
+
+
+def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
+
+
+def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_impl, kv_len):
+    """One double-stream block: separate img/txt QKV + MLPs, joint attention."""
+    n_txt = txt.shape[1]
+    img_mod = dense(p["img_mod"], silu(vec))
+    txt_mod = dense(p["txt_mod"], silu(vec))
+    (i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2) = jnp.split(img_mod, 6, axis=-1)
+    (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, axis=-1)
+
+    img_n = _modulate(img, i_shift1, i_scale1)
+    txt_n = _modulate(txt, t_shift1, t_scale1)
+
+    iq, ik, iv = jnp.split(dense(p["img_qkv"], img_n), 3, axis=-1)
+    tq, tk, tv = jnp.split(dense(p["txt_qkv"], txt_n), 3, axis=-1)
+    h = cfg.num_heads
+    iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
+    tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
+    iq = rms_norm(iq, p["img_q_scale"])
+    ik = rms_norm(ik, p["img_k_scale"])
+    tq = rms_norm(tq, p["txt_q_scale"])
+    tk = rms_norm(tk, p["txt_k_scale"])
+
+    # text tokens prepended (attention_processor.py:2029-2035)
+    q = jnp.concatenate([tq, iq], axis=1)
+    k = jnp.concatenate([tk, ik], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+    q = apply_rope(q.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+    k = apply_rope(k.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+
+    out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+    out = out.reshape(out.shape[0], out.shape[1], -1)
+    txt_attn, img_attn = out[:, :n_txt], out[:, n_txt:]
+
+    img = img + i_gate1[:, None] * dense(p["img_proj"], img_attn)
+    img_mlp_in = _modulate(img, i_shift2, i_scale2)
+    img = img + i_gate2[:, None] * dense(p["img_mlp"]["fc2"], gelu_tanh(dense(p["img_mlp"]["fc1"], img_mlp_in)))
+
+    txt = txt + t_gate1[:, None] * dense(p["txt_proj"], txt_attn)
+    txt_mlp_in = _modulate(txt, t_shift2, t_scale2)
+    txt = txt + t_gate2[:, None] * dense(p["txt_mlp"]["fc2"], gelu_tanh(dense(p["txt_mlp"]["fc1"], txt_mlp_in)))
+    return txt, img
+
+
+def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_len):
+    """One single-stream block: parallel attention + MLP over the joint sequence."""
+    d, m, h = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+    mod = dense(p["mod"], silu(vec))
+    shift, scale, gate = jnp.split(mod, 3, axis=-1)
+    x_n = _modulate(x, shift, scale)
+
+    fused = dense(p["linear1"], x_n)
+    q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
+    q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
+    q = rms_norm(q, p["q_scale"])
+    k = rms_norm(k, p["k_scale"])
+    q = apply_rope(q.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+    k = apply_rope(k.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+
+    attn = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+    attn = attn.reshape(attn.shape[0], attn.shape[1], -1)
+
+    out = dense(p["linear2"], jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1))
+    return x + gate[:, None] * out
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def flux_apply(
+    params,
+    cfg: FluxConfig,
+    img_tokens: jnp.ndarray,      # (B, T_img, in_channels)
+    txt_tokens: jnp.ndarray,      # (B, T_txt, joint_dim)
+    pooled: jnp.ndarray,          # (B, pooled_dim)
+    timestep: jnp.ndarray,        # (B,) sigma in [0, 1]
+    guidance: Optional[jnp.ndarray],  # (B,) guidance scale or None
+    rope_cos: jnp.ndarray,        # (T_txt + T_img, head_dim)
+    rope_sin: jnp.ndarray,
+    *,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Predict the flow velocity for packed image tokens. Returns (B, T_img, out_channels)."""
+    n_txt = txt_tokens.shape[1]
+    dtype = img_tokens.dtype
+
+    vec = dense(params["time_in"]["fc2"], silu(dense(
+        params["time_in"]["fc1"],
+        timestep_embedding(timestep * 1000.0, cfg.time_embed_channels).astype(dtype))))
+    if cfg.guidance_embeds:
+        if guidance is None:
+            raise ValueError("model expects guidance embeddings")
+        vec = vec + dense(params["guidance_in"]["fc2"], silu(dense(
+            params["guidance_in"]["fc1"],
+            timestep_embedding(guidance * 1000.0, cfg.time_embed_channels).astype(dtype))))
+    vec = vec + dense(params["vector_in"]["fc2"], silu(dense(
+        params["vector_in"]["fc1"], pooled.astype(dtype))))
+
+    img = dense(params["img_in"], img_tokens)
+    txt = dense(params["txt_in"], txt_tokens.astype(dtype))
+
+    rope_cos = rope_cos.astype(jnp.float32)
+    rope_sin = rope_sin.astype(jnp.float32)
+
+    def double_body(carry, block_params):
+        txt, img = carry
+        txt, img = double_block(block_params, cfg, txt, img, vec, rope_cos, rope_sin, attn_impl, kv_len)
+        return (txt, img), None
+
+    def single_body(x, block_params):
+        x = single_block(block_params, cfg, x, vec, rope_cos, rope_sin, attn_impl, kv_len)
+        return x, None
+
+    if remat:
+        double_body = jax.checkpoint(double_body, prevent_cse=False)
+        single_body = jax.checkpoint(single_body, prevent_cse=False)
+
+    (txt, img), _ = jax.lax.scan(double_body, (txt, img), params["double"])
+    x = jnp.concatenate([txt, img], axis=1)
+    x, _ = jax.lax.scan(single_body, x, params["single"])
+    x = x[:, n_txt:]
+
+    # AdaLN-continuous output head: chunk order is (scale, shift)
+    # (normalization.py:361-366)
+    final = dense(params["final_mod"], silu(vec))
+    scale, shift = jnp.split(final, 2, axis=-1)
+    x = layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
+    return dense(params["final_proj"], x)
+
+
+def flux_param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,54 @@
+"""Multi-head attention dispatch: XLA einsum reference path and the Pallas
+flash-attention kernel (``textflux_tpu.ops.flash_attention``).
+
+Layout convention everywhere: (batch, seq, heads, head_dim) — BSHD, the
+TPU-friendly layout that keeps head_dim on the 128-lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   kv_len: Optional[int] = None) -> jnp.ndarray:
+    """Unfused reference attention: fp32 logits + softmax, output in q.dtype."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if kv_len is not None:
+        mask = jnp.arange(k.shape[1]) < kv_len
+        logits = jnp.where(mask[None, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    impl: str = "auto",
+    kv_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over BSHD tensors.
+
+    Args:
+      q, k, v: (B, S, H, D).
+      impl: "auto" (pallas on TPU, xla elsewhere), "xla", or "pallas".
+      kv_len: if set, keys/values beyond this index are masked out (sequence
+        padding support — padded queries still produce outputs; callers slice
+        them away).
+    """
+    if impl == "auto":
+        impl = "pallas" if q.shape[1] >= 512 and jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from textflux_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_len=kv_len)
+    return _xla_attention(q, k, v, kv_len=kv_len)
