@@ -138,6 +138,80 @@ def convert_flux_state_dict(sd: StateDict, cfg: FluxConfig) -> dict:
     return params
 
 
+def _conv(sd: StateDict, name: str) -> dict:
+    # torch conv weight (O, I, H, W) -> HWIO
+    return {
+        "w": np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+        "b": np.asarray(sd[f"{name}.bias"]),
+    }
+
+
+def _gn(sd: StateDict, name: str) -> dict:
+    return {"scale": np.asarray(sd[f"{name}.weight"]), "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_vae_state_dict(sd: StateDict, cfg) -> dict:
+    """Map a diffusers AutoencoderKL state dict onto our NHWC VAE pytree."""
+
+    def resnet(pre: str) -> dict:
+        p = {
+            "norm1": _gn(sd, f"{pre}.norm1"),
+            "conv1": _conv(sd, f"{pre}.conv1"),
+            "norm2": _gn(sd, f"{pre}.norm2"),
+            "conv2": _conv(sd, f"{pre}.conv2"),
+        }
+        if f"{pre}.conv_shortcut.weight" in sd:
+            p["skip"] = _conv(sd, f"{pre}.conv_shortcut")
+        return p
+
+    def mid(pre: str) -> dict:
+        return {
+            "res1": resnet(f"{pre}.resnets.0"),
+            "res2": resnet(f"{pre}.resnets.1"),
+            "attn": {
+                "norm": _gn(sd, f"{pre}.attentions.0.group_norm"),
+                "q": _lin(sd, f"{pre}.attentions.0.to_q"),
+                "k": _lin(sd, f"{pre}.attentions.0.to_k"),
+                "v": _lin(sd, f"{pre}.attentions.0.to_v"),
+                "out": _lin(sd, f"{pre}.attentions.0.to_out.0"),
+            },
+        }
+
+    n_blocks = len(cfg.block_out_channels)
+    enc_down = []
+    for i in range(n_blocks):
+        block = {"resnets": [resnet(f"encoder.down_blocks.{i}.resnets.{j}")
+                             for j in range(cfg.layers_per_block)]}
+        if f"encoder.down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            block["down"] = _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+        enc_down.append(block)
+
+    dec_up = []
+    for i in range(n_blocks):
+        block = {"resnets": [resnet(f"decoder.up_blocks.{i}.resnets.{j}")
+                             for j in range(cfg.layers_per_block + 1)]}
+        if f"decoder.up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            block["up"] = _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+        dec_up.append(block)
+
+    return {
+        "encoder": {
+            "conv_in": _conv(sd, "encoder.conv_in"),
+            "down": enc_down,
+            "mid": mid("encoder.mid_block"),
+            "norm_out": _gn(sd, "encoder.conv_norm_out"),
+            "conv_out": _conv(sd, "encoder.conv_out"),
+        },
+        "decoder": {
+            "conv_in": _conv(sd, "decoder.conv_in"),
+            "mid": mid("decoder.mid_block"),
+            "up": dec_up,
+            "norm_out": _gn(sd, "decoder.conv_norm_out"),
+            "conv_out": _conv(sd, "decoder.conv_out"),
+        },
+    }
+
+
 def to_device_params(params, dtype=jnp.bfloat16, put: Callable = jnp.asarray):
     """Cast a numpy param tree to device arrays. Norm scales stay float32."""
     import jax

@@ -1,0 +1,216 @@
+"""FLUX KL autoencoder (16 latent channels, 8x spatial) in NHWC.
+
+Functional re-design of the reference AutoencoderKL
+(/root/reference/diffusers/.../models/autoencoders/autoencoder_kl.py:38 and
+vae.py Encoder/Decoder): conv stacks run as lax.conv_general_dilated in the
+TPU-native NHWC/HWIO layout, GroupNorm in float32, the mid-block spatial
+attention as one fused single-head attention. FLUX's VAE has no quant convs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from textflux_tpu.config import VAEConfig
+from textflux_tpu.models.layers import dense, dense_init, silu
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def conv_init(key: jax.Array, k: int, c_in: int, c_out: int):
+    scale = 1.0 / math.sqrt(c_in * k * k)
+    return {
+        "w": jax.random.uniform(key, (k, k, c_in, c_out), jnp.float32, -scale, scale),
+        "b": jnp.zeros((c_out,), jnp.float32),
+    }
+
+
+def conv(p, x: jnp.ndarray, *, stride: int = 1, padding="SAME") -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def group_norm_init(c: int):
+    return {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def group_norm(p, x: jnp.ndarray, groups: int, eps: float = 1e-6) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _resnet_init(key: jax.Array, c_in: int, c_out: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": group_norm_init(c_in),
+        "conv1": conv_init(k1, 3, c_in, c_out),
+        "norm2": group_norm_init(c_out),
+        "conv2": conv_init(k2, 3, c_out, c_out),
+    }
+    if c_in != c_out:
+        p["skip"] = conv_init(k3, 1, c_in, c_out)
+    return p
+
+
+def _resnet(p, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    h = conv(p["conv1"], silu(group_norm(p["norm1"], x, groups)))
+    h = conv(p["conv2"], silu(group_norm(p["norm2"], h, groups)))
+    skip = conv(p["skip"], x) if "skip" in p else x
+    return skip + h
+
+
+def _attn_init(key: jax.Array, c: int):
+    ks = jax.random.split(key, 4)
+    return {
+        "norm": group_norm_init(c),
+        "q": dense_init(ks[0], c, c),
+        "k": dense_init(ks[1], c, c),
+        "v": dense_init(ks[2], c, c),
+        "out": dense_init(ks[3], c, c),
+    }
+
+
+def _attn(p, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    y = group_norm(p["norm"], x, groups).reshape(b, h * w, c)
+    q, k, v = dense(p["q"], y), dense(p["k"], y), dense(p["v"], y)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits / math.sqrt(c), axis=-1).astype(v.dtype)
+    o = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32).astype(x.dtype)
+    return x + dense(p["out"], o).reshape(b, h, w, c)
+
+
+def _mid_init(key: jax.Array, c: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {"res1": _resnet_init(k1, c, c), "attn": _attn_init(k2, c), "res2": _resnet_init(k3, c, c)}
+
+
+def _mid(p, x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    x = _resnet(p["res1"], x, groups)
+    x = _attn(p["attn"], x, groups)
+    return _resnet(p["res2"], x, groups)
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder
+# ---------------------------------------------------------------------------
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig):
+    chans = cfg.block_out_channels
+    keys = iter(jax.random.split(key, 64))
+
+    enc_down = []
+    c_prev = chans[0]
+    for i, c in enumerate(chans):
+        resnets = []
+        for j in range(cfg.layers_per_block):
+            resnets.append(_resnet_init(next(keys), c_prev if j == 0 else c, c))
+        block = {"resnets": resnets}
+        if i < len(chans) - 1:
+            block["down"] = conv_init(next(keys), 3, c, c)
+        enc_down.append(block)
+        c_prev = c
+
+    encoder = {
+        "conv_in": conv_init(next(keys), 3, cfg.in_channels, chans[0]),
+        "down": enc_down,
+        "mid": _mid_init(next(keys), chans[-1]),
+        "norm_out": group_norm_init(chans[-1]),
+        "conv_out": conv_init(next(keys), 3, chans[-1], 2 * cfg.latent_channels),
+    }
+
+    dec_up = []
+    rev = list(reversed(chans))
+    c_prev = rev[0]
+    for i, c in enumerate(rev):
+        resnets = []
+        for j in range(cfg.layers_per_block + 1):
+            resnets.append(_resnet_init(next(keys), c_prev if j == 0 else c, c))
+        block = {"resnets": resnets}
+        if i < len(rev) - 1:
+            block["up"] = conv_init(next(keys), 3, c, c)
+        dec_up.append(block)
+        c_prev = c
+
+    decoder = {
+        "conv_in": conv_init(next(keys), 3, cfg.latent_channels, rev[0]),
+        "mid": _mid_init(next(keys), rev[0]),
+        "up": dec_up,
+        "norm_out": group_norm_init(rev[-1]),
+        "conv_out": conv_init(next(keys), 3, rev[-1], cfg.out_channels),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def vae_encode_moments(params, cfg: VAEConfig, images: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode NHWC images in [-1, 1] to posterior (mean, logvar), each (B,h,w,C)."""
+    g = cfg.norm_num_groups
+    p = params["encoder"]
+    x = conv(p["conv_in"], images)
+    for i, block in enumerate(p["down"]):
+        for r in block["resnets"]:
+            x = _resnet(r, x, g)
+        if "down" in block:
+            # asymmetric (0,1),(0,1) pad + stride-2 VALID conv (diffusers Downsample2D)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = conv(block["down"], x, stride=2, padding="VALID")
+    x = _mid(p["mid"], x, g)
+    x = conv(p["conv_out"], silu(group_norm(p["norm_out"], x, g)))
+    mean, logvar = jnp.split(x, 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    return mean, logvar
+
+
+def vae_encode(
+    params, cfg: VAEConfig, images: jnp.ndarray,
+    key: Optional[jax.Array] = None, *, scale: bool = True,
+) -> jnp.ndarray:
+    """Encode to latents: posterior sample (if key given) or mode, then
+    (z - shift_factor) * scaling_factor when scale=True."""
+    mean, logvar = vae_encode_moments(params, cfg, images)
+    z = mean
+    if key is not None:
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        z = mean + (std * jax.random.normal(key, mean.shape, jnp.float32)).astype(mean.dtype)
+    if scale:
+        z = (z - cfg.shift_factor) * cfg.scaling_factor
+    return z
+
+
+def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray, *, scale: bool = True) -> jnp.ndarray:
+    """Decode (scaled) latents to NHWC images in [-1, 1]."""
+    g = cfg.norm_num_groups
+    if scale:
+        latents = latents / cfg.scaling_factor + cfg.shift_factor
+    p = params["decoder"]
+    x = conv(p["conv_in"], latents)
+    x = _mid(p["mid"], x, g)
+    for i, block in enumerate(p["up"]):
+        for r in block["resnets"]:
+            x = _resnet(r, x, g)
+        if "up" in block:
+            b, h, w, c = x.shape
+            x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+            x = conv(block["up"], x)
+    x = conv(p["conv_out"], silu(group_norm(p["norm_out"], x, g)))
+    return x
