@@ -212,6 +212,56 @@ def convert_vae_state_dict(sd: StateDict, cfg) -> dict:
     }
 
 
+def convert_clip_state_dict(sd: StateDict, cfg) -> dict:
+    """Map a transformers CLIPTextModel state dict onto our pytree."""
+    pre = "text_model"
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"{pre}.encoder.layers.{i}"
+        layers.append({
+            "ln1": _gn(sd, f"{lp}.layer_norm1"),
+            "q": _lin(sd, f"{lp}.self_attn.q_proj"),
+            "k": _lin(sd, f"{lp}.self_attn.k_proj"),
+            "v": _lin(sd, f"{lp}.self_attn.v_proj"),
+            "o": _lin(sd, f"{lp}.self_attn.out_proj"),
+            "ln2": _gn(sd, f"{lp}.layer_norm2"),
+            "fc1": _lin(sd, f"{lp}.mlp.fc1"),
+            "fc2": _lin(sd, f"{lp}.mlp.fc2"),
+        })
+    return {
+        "token_embedding": np.asarray(sd[f"{pre}.embeddings.token_embedding.weight"]),
+        "position_embedding": np.asarray(sd[f"{pre}.embeddings.position_embedding.weight"]),
+        "layers": _stack_np(layers),
+        "final_ln": _gn(sd, f"{pre}.final_layer_norm"),
+    }
+
+
+def convert_t5_state_dict(sd: StateDict, cfg) -> dict:
+    """Map a transformers T5EncoderModel state dict onto our pytree."""
+    emb_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
+    layers = []
+    for i in range(cfg.num_layers):
+        lp = f"encoder.block.{i}"
+        layers.append({
+            "attn_norm": np.asarray(sd[f"{lp}.layer.0.layer_norm.weight"]),
+            "q": _lin(sd, f"{lp}.layer.0.SelfAttention.q"),
+            "k": _lin(sd, f"{lp}.layer.0.SelfAttention.k"),
+            "v": _lin(sd, f"{lp}.layer.0.SelfAttention.v"),
+            "o": _lin(sd, f"{lp}.layer.0.SelfAttention.o"),
+            "mlp_norm": np.asarray(sd[f"{lp}.layer.1.layer_norm.weight"]),
+            "wi_0": _lin(sd, f"{lp}.layer.1.DenseReluDense.wi_0"),
+            "wi_1": _lin(sd, f"{lp}.layer.1.DenseReluDense.wi_1"),
+            "wo": _lin(sd, f"{lp}.layer.1.DenseReluDense.wo"),
+        })
+    return {
+        "embedding": np.asarray(sd[emb_key]),
+        "rel_bias": np.asarray(
+            sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]),
+        "layers": _stack_np(layers),
+        "final_norm": np.asarray(sd["encoder.final_layer_norm.weight"]),
+    }
+
+
 def to_device_params(params, dtype=jnp.bfloat16, put: Callable = jnp.asarray):
     """Cast a numpy param tree to device arrays. Norm scales stay float32."""
     import jax
