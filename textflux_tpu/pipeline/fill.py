@@ -1,0 +1,303 @@
+"""End-to-end FLUX-Fill inpainting pipeline, jit-compiled per shape bucket.
+
+Stages (each a cached jit; params are arguments so jit caches persist across
+checkpoint swaps):
+
+  1. text encode      — CLIP pooled + T5 sequence embeddings
+  2. conditioning     — VAE-encode the masked image, pack latents + 8x8->2x2
+                        mask rearrangement into 320-channel cond tokens
+  3. denoise          — lax.scan over the sigma schedule; the MM-DiT consumes
+                        [noise tokens | cond tokens] (384 ch) each step
+  4. decode           — unpack + VAE decode
+
+Behavioral parity reference: FluxFillPipeline.__call__
+(/root/reference/diffusers/.../pipeline_flux_fill.py:1850-2137). Deviations
+(documented): RNG is jax.random (torch.Generator seeds do not transfer), and
+all image math is NHWC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from textflux_tpu.config import (
+    CLIPTextConfig,
+    FluxConfig,
+    PipelineConfig,
+    T5Config,
+    VAEConfig,
+)
+from textflux_tpu.models.clip import clip_encode
+from textflux_tpu.models.t5 import t5_encode
+from textflux_tpu.models.transformer import flux_apply
+from textflux_tpu.models.vae import vae_decode, vae_encode
+from textflux_tpu.ops import packing, samplers
+from textflux_tpu.ops.rope import rope_tables
+from textflux_tpu.pipeline import image_processor as improc
+from textflux_tpu.pipeline.prompts import build_prompts
+
+
+class FillPipeline:
+    """Scene-text inpainting: glyph-conditioned FLUX fill."""
+
+    def __init__(
+        self,
+        *,
+        flux_params,
+        flux_cfg: FluxConfig,
+        vae_params,
+        vae_cfg: VAEConfig,
+        clip_params=None,
+        clip_cfg: Optional[CLIPTextConfig] = None,
+        t5_params=None,
+        t5_cfg: Optional[T5Config] = None,
+        clip_tokenize: Optional[Callable[[str], np.ndarray]] = None,
+        t5_tokenize: Optional[Callable[[str], np.ndarray]] = None,
+        pipe_cfg: PipelineConfig = PipelineConfig(),
+        attn_impl: str = "auto",
+    ):
+        self.flux_params = flux_params
+        self.flux_cfg = flux_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        self.clip_params = clip_params
+        self.clip_cfg = clip_cfg
+        self.t5_params = t5_params
+        self.t5_cfg = t5_cfg
+        self.clip_tokenize = clip_tokenize
+        self.t5_tokenize = t5_tokenize
+        self.pipe_cfg = pipe_cfg
+        self.attn_impl = attn_impl
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # jitted stages
+    # ------------------------------------------------------------------
+
+    def _build_jits(self):
+        flux_cfg, vae_cfg = self.flux_cfg, self.vae_cfg
+        clip_cfg, t5_cfg = self.clip_cfg, self.t5_cfg
+        attn_impl = self.attn_impl
+
+        def encode_text(clip_params, t5_params, clip_ids, t5_ids, dtype=jnp.bfloat16):
+            _, pooled = clip_encode(clip_params, clip_cfg, clip_ids, dtype=dtype)
+            txt = t5_encode(t5_params, t5_cfg, t5_ids, dtype=dtype)
+            return pooled, txt
+
+        def prepare_cond(vae_params, image, mask, key):
+            # mask out the edit region, encode, pack; mask folds 8x8 -> 256 ch
+            masked = image * (1.0 - mask[..., None])
+            z = vae_encode(vae_params, vae_cfg, masked, key=key)
+            img_tokens = packing.pack_latents(z)
+            mask_tokens = packing.pack_mask(mask.astype(z.dtype), vae_cfg.spatial_factor)
+            return jnp.concatenate([img_tokens, mask_tokens], axis=-1)
+
+        def denoise(flux_params, latents, cond, txt, pooled, sigmas, guidance,
+                    rope_cos, rope_sin, keys, sampler: str, overshoot_c: float):
+            b = latents.shape[0]
+
+            def step(carry, xs):
+                lat = carry
+                sigma, sigma_next, key = xs
+                v = flux_apply(
+                    flux_params, flux_cfg,
+                    jnp.concatenate([lat, cond], axis=-1),
+                    txt, pooled,
+                    jnp.full((b,), sigma, lat.dtype),
+                    guidance,
+                    rope_cos, rope_sin,
+                    attn_impl=attn_impl,
+                )
+                if sampler == "overshoot":
+                    lat = samplers.overshoot_step(lat, v, sigma, sigma_next, key, c=overshoot_c)
+                else:
+                    lat = samplers.euler_step(lat, v, sigma, sigma_next)
+                return lat, None
+
+            xs = (sigmas[:-1], sigmas[1:], keys)
+            latents, _ = jax.lax.scan(step, latents, xs)
+            return latents
+
+        def decode(vae_params, latents, lat_h: int, lat_w: int):
+            z = packing.unpack_latents(latents, lat_h, lat_w)
+            return vae_decode(vae_params, vae_cfg, z)
+
+        self._encode_text = jax.jit(encode_text, static_argnames=("dtype",))
+        self._prepare_cond = jax.jit(prepare_cond)
+        self._denoise = jax.jit(denoise, static_argnames=("sampler", "overshoot_c"))
+        self._decode = jax.jit(decode, static_argnames=("lat_h", "lat_w"))
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def encode_prompts(self, prompt: str, prompt_2: str, dtype=jnp.bfloat16):
+        if self.clip_params is None or self.t5_params is None:
+            raise ValueError("pipeline was built without text encoders")
+        if self.clip_tokenize is None or self.t5_tokenize is None:
+            raise ValueError("pipeline was built without tokenizers")
+        clip_ids = jnp.asarray(self.clip_tokenize(prompt))
+        t5_ids = jnp.asarray(self.t5_tokenize(prompt_2))
+        return self._encode_text(self.clip_params, self.t5_params, clip_ids, t5_ids, dtype)
+
+    def __call__(
+        self,
+        *,
+        image,
+        mask_image,
+        words: Optional[Sequence[str]] = None,
+        prompt: Optional[str] = None,
+        prompt_2: Optional[str] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        seed: int = 42,
+        sampler: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        text_embeds=None,
+        output_type: str = "pil",
+    ):
+        """Run glyph-conditioned inpainting.
+
+        Args:
+          image / mask_image: PIL or numpy; the pre-concatenated conditioning
+            canvas (glyph strip/canvas already stitched on) and its mask.
+          words: render words; builds the two prompt templates automatically.
+          prompt / prompt_2: override the CLIP / T5 prompts directly.
+          text_embeds: optional precomputed (pooled, txt) tuple, bypassing the
+            text encoders (used by tests and batch eval).
+          output_type: "pil" | "np" | "latent".
+        """
+        cfgp = self.pipe_cfg
+        steps = num_inference_steps or cfgp.num_inference_steps
+        guidance_scale = cfgp.guidance_scale if guidance_scale is None else guidance_scale
+        sampler = sampler or cfgp.sampler
+
+        pil = improc.to_pil(image)
+        w0, h0 = pil.size
+        # latent grid must be even for 2x2 packing => 16-pixel granularity
+        width = ((width or w0) // 16) * 16
+        height = ((height or h0) // 16) * 16
+
+        img = jnp.asarray(improc.preprocess_image(image, height, width), dtype)
+        mask = jnp.asarray(improc.preprocess_mask(mask_image, height, width), dtype)
+
+        if text_embeds is None:
+            if prompt is None or prompt_2 is None:
+                if words is None:
+                    raise ValueError("provide words, prompts, or text_embeds")
+                prompt, prompt_2 = build_prompts(words)
+            pooled, txt = self.encode_prompts(prompt, prompt_2, dtype)
+        else:
+            pooled, txt = text_embeds
+            pooled = jnp.asarray(pooled, dtype)
+            txt = jnp.asarray(txt, dtype)
+
+        b = img.shape[0]
+        lat_h = height // self.vae_cfg.spatial_factor
+        lat_w = width // self.vae_cfg.spatial_factor
+        t_img = (lat_h // 2) * (lat_w // 2)
+        t_txt = txt.shape[1]
+
+        key = jax.random.PRNGKey(seed)
+        key_noise, key_vae, key_steps = jax.random.split(key, 3)
+
+        cond = self._prepare_cond(self.vae_params, img, mask, key_vae)
+        latents = jax.random.normal(
+            key_noise, (b, t_img, self.vae_cfg.latent_channels * 4), jnp.float32
+        ).astype(dtype)
+
+        ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], axis=0)
+        cos, sin = rope_tables(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
+
+        sigmas = samplers.make_schedule(
+            steps, t_img,
+            base_seq_len=cfgp.base_image_seq_len, max_seq_len=cfgp.max_image_seq_len,
+            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift,
+        )
+        guidance = jnp.full((b,), guidance_scale, jnp.float32) if self.flux_cfg.guidance_embeds else None
+        step_keys = jax.random.split(key_steps, steps)
+
+        latents = self._denoise(
+            self.flux_params, latents, cond, txt, pooled,
+            jnp.asarray(sigmas), guidance,
+            jnp.asarray(cos), jnp.asarray(sin), step_keys,
+            sampler, float(cfgp.overshoot_c),
+        )
+
+        if output_type == "latent":
+            return latents
+        images = self._decode(self.vae_params, latents, lat_h, lat_w)
+        images_np = np.asarray(images.astype(jnp.float32))
+        if output_type == "np":
+            return images_np
+        return improc.postprocess_image(images_np)
+
+    # ------------------------------------------------------------------
+    # loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        base_path: str,
+        *,
+        transformer_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        lora_scale: float = 1.0,
+        dtype=jnp.bfloat16,
+        pipe_cfg: PipelineConfig = PipelineConfig(),
+        attn_impl: str = "auto",
+    ) -> "FillPipeline":
+        """Load from a diffusers-layout checkpoint directory
+        (subfolders: transformer/ vae/ text_encoder/ text_encoder_2/ tokenizer*/)."""
+        from textflux_tpu.io.params import (
+            convert_clip_state_dict,
+            convert_t5_state_dict,
+            convert_vae_state_dict,
+            load_flux_transformer,
+            load_safetensors_dir,
+            to_device_params,
+        )
+
+        flux_cfg = FluxConfig()
+        t_path = transformer_path or os.path.join(base_path, "transformer")
+        if lora_path is None:
+            flux_params = load_flux_transformer(t_path, flux_cfg, dtype=dtype)
+        else:
+            from textflux_tpu.io.lora import load_folded_flux_transformer
+
+            flux_params = load_folded_flux_transformer(
+                t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
+
+        vae_cfg = VAEConfig()
+        vae_sd = load_safetensors_dir(os.path.join(base_path, "vae"))
+        vae_params = to_device_params(convert_vae_state_dict(vae_sd, vae_cfg), dtype=dtype)
+
+        clip_cfg = CLIPTextConfig()
+        clip_sd = load_safetensors_dir(os.path.join(base_path, "text_encoder"))
+        clip_params = to_device_params(convert_clip_state_dict(clip_sd, clip_cfg), dtype=dtype)
+
+        t5_cfg = T5Config()
+        t5_sd = load_safetensors_dir(os.path.join(base_path, "text_encoder_2"))
+        t5_params = to_device_params(convert_t5_state_dict(t5_sd, t5_cfg), dtype=dtype)
+
+        from textflux_tpu.pipeline.tokenizers import load_tokenizers
+
+        clip_tok, t5_tok = load_tokenizers(base_path, max_t5_length=pipe_cfg.max_sequence_length)
+
+        return cls(
+            flux_params=flux_params, flux_cfg=flux_cfg,
+            vae_params=vae_params, vae_cfg=vae_cfg,
+            clip_params=clip_params, clip_cfg=clip_cfg,
+            t5_params=t5_params, t5_cfg=t5_cfg,
+            clip_tokenize=clip_tok, t5_tokenize=t5_tok,
+            pipe_cfg=pipe_cfg, attn_impl=attn_impl,
+        )
