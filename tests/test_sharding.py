@@ -1,0 +1,88 @@
+"""Multi-device GSPMD tests on the 8-device CPU mesh: sharded forward and
+training step must match single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from textflux_tpu.config import FluxConfig, VAEConfig
+from textflux_tpu.models import vae as V
+from textflux_tpu.models.transformer import flux_apply, init_flux_params
+from textflux_tpu.ops import packing
+from textflux_tpu.ops.rope import rope_tables
+from textflux_tpu.parallel import partitioning as PT
+from textflux_tpu.training import train as TR
+
+FLUX_TINY = FluxConfig(
+    in_channels=48, out_channels=16, num_double_layers=2, num_single_layers=2,
+    num_heads=4, head_dim=8, joint_dim=32, pooled_dim=16, guidance_embeds=True,
+    axes_dims_rope=(4, 2, 2), time_embed_channels=256,
+)
+VAE_TINY = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+                     norm_num_groups=4, scaling_factor=0.5, shift_factor=0.1)
+
+
+def test_eight_cpu_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_forward_matches_single_device(rng):
+    mesh = PT.make_mesh((1, 2, 4))
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    specs = PT.flux_param_specs(FLUX_TINY)
+    sharded = PT.shard_tree(params, specs, mesh)
+
+    b, t_img, t_txt = 2, 16, 4
+    img = jnp.asarray(rng.standard_normal((b, t_img, 48)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((b, t_txt, 32)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(8, 8)], axis=0)
+    cos, sin = rope_tables(ids, FLUX_TINY.axes_dims_rope)
+    sigma = jnp.array([0.5, 0.9])
+    guidance = jnp.array([1.0, 1.0])
+
+    ref = flux_apply(params, FLUX_TINY, img, txt, pooled, sigma, guidance,
+                     jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+
+    fn = jax.jit(lambda p, *a: flux_apply(p, FLUX_TINY, *a, attn_impl="xla"))
+    with mesh:
+        out = fn(sharded, img, txt, pooled, sigma, guidance, jnp.asarray(cos), jnp.asarray(sin))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    tc = TR.TrainConfig(grad_accum=2, excluded_single_layers=(), learning_rate=1e-3,
+                        weighting_scheme="none")
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    mask = TR.attn_only_mask(params, FLUX_TINY, tc)
+    tx = TR.make_optimizer(tc, mask)
+    step = TR.make_train_step(FLUX_TINY, VAE_TINY, tc, tx, attn_impl="xla")
+    opt_state = tx.init(params)
+
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32) * 0.3,
+        "mask": jnp.asarray((rng.random((2, 4, 32, 32)) > 0.8), jnp.float32),
+        "txt": jnp.asarray(rng.standard_normal((2, 4, 6, 32)), jnp.float32),
+        "pooled": jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    ref_params, _, ref_metrics = jax.jit(step)(params, opt_state, mask, vae_params, batch, key)
+
+    mesh = PT.make_mesh((2, 2, 2))
+    specs = PT.flux_param_specs(FLUX_TINY)
+    with mesh:
+        sharded_params = PT.shard_tree(params, specs, mesh)
+        sharded_vae = PT.replicate_tree(vae_params, mesh)
+        bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
+        sharded_batch = jax.tree.map(lambda x: jax.device_put(x, bspec), batch)
+        out_params, _, metrics = jax.jit(step)(
+            sharded_params, opt_state, mask, sharded_vae, sharded_batch, key)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_params["double"]["img_qkv"]["w"]),
+        np.asarray(ref_params["double"]["img_qkv"]["w"]), atol=1e-5)

@@ -1,0 +1,106 @@
+"""Training step tests: selective unfreeze semantics, LoRA, loss sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textflux_tpu.config import FluxConfig, VAEConfig
+from textflux_tpu.models import vae as V
+from textflux_tpu.models.transformer import init_flux_params
+from textflux_tpu.training import train as TR
+
+VAE_TINY = VAEConfig(block_out_channels=(8, 16), layers_per_block=1, latent_channels=4,
+                     norm_num_groups=4, scaling_factor=0.5, shift_factor=0.1)
+FLUX_TINY = FluxConfig(
+    in_channels=48, out_channels=16, num_double_layers=2, num_single_layers=3,
+    num_heads=2, head_dim=8, joint_dim=32, pooled_dim=16, guidance_embeds=True,
+    axes_dims_rope=(4, 2, 2), time_embed_channels=256,
+)
+TC = TR.TrainConfig(grad_accum=2, remat=True, excluded_single_layers=(1,),
+                    learning_rate=1e-3)
+
+
+def _batch(rng, accum=2, b=1, h=32, w=32, t_txt=6):
+    return {
+        "pixel_values": jnp.asarray(rng.standard_normal((accum, b, h, w, 3)), jnp.float32) * 0.5,
+        "mask": jnp.asarray((rng.random((accum, b, h, w)) > 0.8), jnp.float32),
+        "txt": jnp.asarray(rng.standard_normal((accum, b, t_txt, 32)), jnp.float32),
+        "pooled": jnp.asarray(rng.standard_normal((accum, b, 16)), jnp.float32),
+    }
+
+
+def test_attn_mask_structure():
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    mask = TR.attn_only_mask(params, FLUX_TINY, TC)
+    assert jax.tree.structure(mask) == jax.tree.structure(params)
+    # frozen: mods, mlps, embedders
+    assert float(mask["double"]["img_mod"]["w"]) == 0.0
+    assert float(mask["double"]["img_mlp"]["fc1"]["w"]) == 0.0
+    assert float(mask["img_in"]["w"]) == 0.0
+    # trainable: attention
+    assert float(mask["double"]["img_qkv"]["w"]) == 1.0
+    assert float(mask["double"]["txt_proj"]["w"]) == 1.0
+    # single: qkv columns only, excluded layer 1 fully frozen
+    w_mask = np.asarray(mask["single"]["linear1"]["w"])
+    d = FLUX_TINY.hidden_dim
+    assert w_mask.shape == (3, 1, 3 * d + FLUX_TINY.mlp_dim)
+    assert w_mask[0, 0, : 3 * d].min() == 1.0
+    assert w_mask[0, 0, 3 * d:].max() == 0.0
+    assert w_mask[1].max() == 0.0
+    assert np.asarray(mask["single"]["q_scale"])[1] == 0.0
+
+
+def test_train_step_updates_only_trainable(rng):
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    mask = TR.attn_only_mask(params, FLUX_TINY, TC)
+    tx = TR.make_optimizer(TC, mask)
+    step = jax.jit(TR.make_train_step(FLUX_TINY, VAE_TINY, TC, tx, attn_impl="xla"))
+    opt_state = tx.init(params)
+
+    batch = _batch(rng)
+    new_params, opt_state, metrics = step(params, opt_state, mask, vae_params,
+                                          batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+    # frozen leaves identical
+    np.testing.assert_array_equal(np.asarray(new_params["double"]["img_mlp"]["fc1"]["w"]),
+                                  np.asarray(params["double"]["img_mlp"]["fc1"]["w"]))
+    np.testing.assert_array_equal(np.asarray(new_params["img_in"]["w"]),
+                                  np.asarray(params["img_in"]["w"]))
+    # attention weights moved
+    assert np.abs(np.asarray(new_params["double"]["img_qkv"]["w"]) -
+                  np.asarray(params["double"]["img_qkv"]["w"])).max() > 0
+    # fused linear1: qkv columns moved, mlp columns frozen; excluded layer frozen
+    d = FLUX_TINY.hidden_dim
+    delta = np.asarray(new_params["single"]["linear1"]["w"]) - np.asarray(params["single"]["linear1"]["w"])
+    assert np.abs(delta[0, :, : 3 * d]).max() > 0
+    assert np.abs(delta[:, :, 3 * d:]).max() == 0
+    assert np.abs(delta[1]).max() == 0
+
+
+def test_lora_train_step(rng):
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=4.0, learning_rate=1e-3)
+    lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, tc.lora_rank)
+    tx = TR.make_optimizer(tc)
+    step = jax.jit(TR.make_lora_train_step(FLUX_TINY, VAE_TINY, tc, tx, attn_impl="xla"))
+    opt_state = tx.init(lora)
+
+    batch = _batch(rng, accum=1)
+    new_lora, opt_state, metrics = step(params, lora, opt_state, vae_params,
+                                        batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    # B starts at zero => first update must move it
+    assert np.abs(np.asarray(new_lora["double"]["img_qkv"]["b"])).max() > 0
+
+
+def test_lora_merge_zero_b_is_identity(rng):
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    lora = TR.lora_init(jax.random.PRNGKey(1), params, FLUX_TINY, 4)
+    merged = TR.lora_merge(params, lora, 1.0)
+    np.testing.assert_array_equal(np.asarray(merged["double"]["img_qkv"]["w"]),
+                                  np.asarray(params["double"]["img_qkv"]["w"]))

@@ -1,0 +1,128 @@
+"""Device mesh + GSPMD partition specs.
+
+Mesh axes (reference's DeepSpeed-ZeRO-2 + process-farm parallelism maps here,
+SURVEY.md §2.4):
+
+  data   — batch parallelism (reference: ZeRO data-parallel ranks / eval farm)
+  fsdp   — parameter+optimizer sharding (reference: ZeRO-2 optimizer sharding;
+           here full ZeRO-3-style weight gathering per scan step)
+  tensor — megatron-style tensor parallelism over attention heads / MLP columns
+           (the reference has none; required on TPU to fit the 12B DiT on small
+           slices, SURVEY.md §7 hard part (d))
+
+Specs mirror the param pytrees structurally. Stacked block params carry a
+leading layer axis that is never sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from textflux_tpu.config import FluxConfig
+
+MESH_AXES = ("data", "fsdp", "tensor")
+
+
+def make_mesh(shape: Optional[Tuple[int, int, int]] = None, devices=None) -> Mesh:
+    """Create a ("data", "fsdp", "tensor") mesh. Default: all devices on fsdp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (1, n, 1)
+    if np.prod(shape) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, MESH_AXES)
+
+
+def _col(stacked: bool) -> dict:
+    """Column-parallel linear: weight (…, in, out) -> out over tensor."""
+    lead = (None,) if stacked else ()
+    return {"w": P(*lead, "fsdp", "tensor"), "b": P(*lead, "tensor")}
+
+
+def _row(stacked: bool) -> dict:
+    """Row-parallel linear: weight (…, in, out) -> in over tensor."""
+    lead = (None,) if stacked else ()
+    return {"w": P(*lead, "tensor", "fsdp"), "b": P(*lead)}
+
+
+def _rep(stacked: bool = False) -> dict:
+    lead = (None,) if stacked else ()
+    return {"w": P(*lead), "b": P(*lead)}
+
+
+def flux_param_specs(cfg: FluxConfig):
+    """PartitionSpec tree matching init_flux_params structure."""
+    double = {
+        "img_mod": _col(True),
+        "txt_mod": _col(True),
+        "img_qkv": _col(True),
+        "txt_qkv": _col(True),
+        "img_q_scale": P(None),
+        "img_k_scale": P(None),
+        "txt_q_scale": P(None),
+        "txt_k_scale": P(None),
+        "img_proj": _row(True),
+        "txt_proj": _row(True),
+        "img_mlp": {"fc1": _col(True), "fc2": _row(True)},
+        "txt_mlp": {"fc1": _col(True), "fc2": _row(True)},
+    }
+    single = {
+        "mod": _col(True),
+        "linear1": _col(True),
+        "q_scale": P(None),
+        "k_scale": P(None),
+        "linear2": _row(True),
+    }
+    specs = {
+        "img_in": {"w": P(None, "tensor"), "b": P("tensor")},
+        "txt_in": {"w": P(None, "tensor"), "b": P("tensor")},
+        "time_in": {"fc1": _rep(), "fc2": _rep()},
+        "vector_in": {"fc1": _rep(), "fc2": _rep()},
+        "final_mod": _rep(),
+        "final_proj": _rep(),
+        "double": double,
+        "single": single,
+    }
+    if cfg.guidance_embeds:
+        specs["guidance_in"] = {"fc1": _rep(), "fc2": _rep()}
+    return specs
+
+
+def batch_spec() -> P:
+    """Batch dims shard over (data, fsdp) jointly (fsdp doubles as extra DP)."""
+    return P(("data", "fsdp"))
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """device_put a pytree with a matching PartitionSpec tree.
+
+    Maps over the *specs* tree (PartitionSpec is a tuple subclass, so it must
+    be declared a leaf explicitly).
+    """
+    return jax.tree.map(
+        lambda s, x: jax.device_put(x, NamedSharding(mesh, s)),
+        specs, tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def sharding_tree(specs, mesh: Mesh):
+    """Convert a PartitionSpec tree into a NamedSharding tree (for jit in/out_shardings)."""
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def spec_like(tree, spec: P):
+    """A PartitionSpec tree assigning one spec to every leaf."""
+    return jax.tree.map(lambda _: spec, tree)

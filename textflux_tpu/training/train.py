@@ -1,0 +1,323 @@
+"""Flow-matching training for the fill DiT: full-param (attention-only
+unfreeze) and LoRA.
+
+TPU-first re-design of the reference trainers (scripts/train.py:904-1056,
+scripts/train_lora.py):
+
+- One jitted ``train_step`` runs gradient accumulation as a ``lax.scan`` over
+  microbatches (reference: accelerate.accumulate over 8 python steps), so a
+  full optimizer step is a single XLA program.
+- Selective unfreeze is a *gradient/update mask tree* (reference: per-tensor
+  requires_grad): attention columns inside the fused single-block matrices are
+  masked at sub-tensor granularity.
+- ZeRO-equivalence comes from sharding params/grads/optimizer state over the
+  fsdp mesh axis (reference: DeepSpeed ZeRO-2 over NCCL).
+- LoRA trains explicit (A, B) factor trees on frozen bases; serving folds them
+  (textflux_tpu.io.lora).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from textflux_tpu.config import FluxConfig, VAEConfig
+from textflux_tpu.models.transformer import flux_apply
+from textflux_tpu.models.vae import vae_encode
+from textflux_tpu.ops import packing, samplers
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror scripts/train.sh + parser_helper.py."""
+
+    learning_rate: float = 2e-5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    guidance_scale: float = 1.0           # train.sh: --guidance_scale=1
+    weighting_scheme: str = "none"
+    logit_mean: float = 0.0
+    logit_std: float = 1.0
+    mode_scale: float = 1.29
+    schedule_shift: float = 3.0           # FLUX scheduler config shift
+    grad_accum: int = 1
+    remat: bool = True
+    mode: str = "attn"                    # "attn" | "all" | "lora"
+    lora_rank: int = 128
+    lora_alpha: float = 128.0
+    # reference quirk: single blocks 11, 12 are excluded from the unfreeze list
+    # (scripts/train.py:520-585)
+    excluded_single_layers: Tuple[int, ...] = (11, 12)
+
+
+# ---------------------------------------------------------------------------
+# Trainable masks
+# ---------------------------------------------------------------------------
+
+def attn_only_mask(params, cfg: FluxConfig, tc: TrainConfig):
+    """Mask tree (same structure as params, float leaves broadcastable onto
+    grads): 1 where trainable. Mirrors the reference's "attn"-substring
+    unfreeze: double-block qkv/proj/q-k-norms, single-block q/k/v columns of
+    the fused linear1 + q/k norms; mods, MLPs, embedders stay frozen."""
+    d = cfg.hidden_dim
+
+    def zeros_like_struct(tree):
+        return jax.tree.map(lambda x: jnp.zeros((), jnp.float32), tree)
+
+    mask = zeros_like_struct(params)
+
+    one = jnp.ones((), jnp.float32)
+    for name in ("img_qkv", "txt_qkv", "img_proj", "txt_proj"):
+        mask["double"][name] = jax.tree.map(lambda _: one, mask["double"][name])
+    for name in ("img_q_scale", "img_k_scale", "txt_q_scale", "txt_k_scale"):
+        mask["double"][name] = one
+
+    n_single = cfg.num_single_layers
+    layer_keep = jnp.asarray(
+        [0.0 if i in tc.excluded_single_layers else 1.0 for i in range(n_single)],
+        jnp.float32,
+    )
+    # fused linear1 columns: [q | k | v | mlp] — only q,k,v columns train
+    qkv_cols = jnp.concatenate(
+        [jnp.ones((3 * d,), jnp.float32), jnp.zeros((cfg.mlp_dim,), jnp.float32)])
+    mask["single"]["linear1"] = {
+        "w": layer_keep[:, None, None] * qkv_cols[None, None, :],
+        "b": layer_keep[:, None] * qkv_cols[None, :],
+    }
+    mask["single"]["q_scale"] = layer_keep[:, None]
+    mask["single"]["k_scale"] = layer_keep[:, None]
+    return mask
+
+
+def all_trainable_mask(params):
+    return jax.tree.map(lambda x: jnp.ones((), jnp.float32), params)
+
+
+def apply_mask(tree, mask):
+    return jax.tree.map(lambda x, m: x * m.astype(x.dtype), tree, mask)
+
+
+# ---------------------------------------------------------------------------
+# LoRA parameterization (training-time; serving folds via io.lora)
+# ---------------------------------------------------------------------------
+
+LORA_TARGETS_DOUBLE = ("img_qkv", "txt_qkv", "img_proj", "txt_proj")
+LORA_TARGETS_SINGLE = ("linear1", "linear2")
+
+
+def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
+    """Per-target (A, B) factors: A ~ N(0, 1/r) (gaussian init), B = 0."""
+
+    def factors(key, w):
+        *lead, d_in, d_out = w.shape
+        ka, _ = jax.random.split(key)
+        a = jax.random.normal(ka, (*lead, d_in, rank), jnp.float32) / rank
+        b = jnp.zeros((*lead, rank, d_out), jnp.float32)
+        return {"a": a, "b": b}
+
+    keys = jax.random.split(key, len(LORA_TARGETS_DOUBLE) + len(LORA_TARGETS_SINGLE))
+    ki = iter(keys)
+    tree = {"double": {}, "single": {}}
+    for name in LORA_TARGETS_DOUBLE:
+        tree["double"][name] = factors(next(ki), params["double"][name]["w"])
+    for name in LORA_TARGETS_SINGLE:
+        tree["single"][name] = factors(next(ki), params["single"][name]["w"])
+    return tree
+
+
+def lora_merge(params, lora, scale: float):
+    """params + scale * A@B on every LoRA target (jit-friendly)."""
+    out = {k: v for k, v in params.items()}
+    out["double"] = dict(params["double"])
+    out["single"] = dict(params["single"])
+    for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
+        for name in names:
+            base = params[group][name]
+            f = lora[group][name]
+            delta = jnp.einsum("lir,lro->lio", f["a"], f["b"]) * scale
+            out[group][name] = dict(base, w=base["w"] + delta.astype(base["w"].dtype))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / step
+# ---------------------------------------------------------------------------
+
+def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping. When a trainable mask tree is given,
+    optimizer state is only allocated for leaves with any trainable entry
+    (optax.masked) — the fsdp-sharded analogue of DeepSpeed allocating state
+    for requires_grad params only."""
+    adamw = optax.adamw(tc.learning_rate, b1=tc.adam_b1, b2=tc.adam_b2,
+                        eps=tc.adam_eps, weight_decay=tc.weight_decay)
+    if mask is not None:
+        leaf_mask = jax.tree.map(lambda m: bool(np_any_trainable(m)), mask)
+        adamw = optax.masked(adamw, leaf_mask)
+    return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), adamw)
+
+
+def np_any_trainable(m) -> bool:
+    import numpy as np
+
+    return bool(np.any(np.asarray(m) > 0))
+
+
+def flow_matching_loss(
+    flux_params,
+    flux_cfg: FluxConfig,
+    vae_params,
+    vae_cfg: VAEConfig,
+    tc: TrainConfig,
+    batch: dict,
+    key: jax.Array,
+    *,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """One microbatch loss. batch: pixel_values (B,H,W,3) in [-1,1],
+    mask (B,H,W) in {0,1}, txt (B,L,joint), pooled (B,pooled)."""
+    pixels, mask = batch["pixel_values"], batch["mask"]
+    txt, pooled = batch["txt"], batch["pooled"]
+    b = pixels.shape[0]
+    k_vae, k_cond, k_t, k_noise = jax.random.split(key, 4)
+
+    # target latents + conditioning (both VAE passes sample the posterior,
+    # matching encode_images_to_latents / prepare_fill_with_mask)
+    x = vae_encode(vae_params, vae_cfg, pixels, key=k_vae)
+    masked = pixels * (1.0 - mask[..., None])
+    z_cond = vae_encode(vae_params, vae_cfg, masked, key=k_cond)
+    cond = jnp.concatenate(
+        [packing.pack_latents(z_cond),
+         packing.pack_mask(mask.astype(z_cond.dtype), vae_cfg.spatial_factor)],
+        axis=-1,
+    )
+
+    u = samplers.sample_timestep_density(
+        k_t, b, tc.weighting_scheme, tc.logit_mean, tc.logit_std, tc.mode_scale)
+    sigmas = samplers.train_sigmas(u, shift=tc.schedule_shift)
+    noise = jax.random.normal(k_noise, x.shape, jnp.float32).astype(x.dtype)
+    sig = sigmas.astype(x.dtype)[:, None, None, None]
+    noisy = (1.0 - sig) * x + sig * noise
+
+    lat_h, lat_w = x.shape[1], x.shape[2]
+    from textflux_tpu.ops.rope import rope_tables
+
+    ids = jnp.concatenate(
+        [jnp.zeros((txt.shape[1], 3)),
+         jnp.asarray(packing.latent_image_ids(lat_h, lat_w), jnp.float32)], axis=0)
+    # training shapes are static per bucket; tables still fold into the jit
+    cos, sin = rope_tables_jnp(ids, flux_cfg.axes_dims_rope, flux_cfg.rope_theta)
+
+    pred = flux_apply(
+        flux_params, flux_cfg,
+        jnp.concatenate([packing.pack_latents(noisy), cond], axis=-1),
+        txt, pooled,
+        sigmas,
+        jnp.full((b,), tc.guidance_scale, jnp.float32) if flux_cfg.guidance_embeds else None,
+        cos, sin,
+        attn_impl=attn_impl, remat=tc.remat,
+    )
+
+    target = packing.pack_latents(noise - x)
+    w = samplers.loss_weighting(tc.weighting_scheme, sigmas)[:, None, None]
+    err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    return jnp.mean(w * err)
+
+
+def rope_tables_jnp(ids: jnp.ndarray, axes_dims: Sequence[int], theta: int = 10000):
+    """In-jit RoPE tables (float32; positions here are small integers so fp64
+    precomputation is unnecessary)."""
+    cos_parts, sin_parts = [], []
+    for axis, dim in enumerate(axes_dims):
+        freqs = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+        angles = jnp.outer(ids[:, axis].astype(jnp.float32), freqs)
+        cos_parts.append(jnp.repeat(jnp.cos(angles), 2, axis=1))
+        sin_parts.append(jnp.repeat(jnp.sin(angles), 2, axis=1))
+    return jnp.concatenate(cos_parts, -1), jnp.concatenate(sin_parts, -1)
+
+
+def make_train_step(
+    flux_cfg: FluxConfig,
+    vae_cfg: VAEConfig,
+    tc: TrainConfig,
+    tx: Optional[optax.GradientTransformation] = None,
+    *,
+    attn_impl: str = "auto",
+):
+    """Build the jittable full-parameter train step.
+
+    Signature: (params, opt_state, mask, vae_params, batch, key) ->
+    (params, opt_state, metrics). ``batch`` leaves carry a leading grad-accum
+    axis: (A, B, ...). jit this with sharded in/out shardings for multi-chip.
+    """
+    tx = tx or make_optimizer(tc)
+
+    def step(params, opt_state, mask, vae_params, batch, key):
+        accum = batch["pixel_values"].shape[0]
+
+        def micro(carry, xs):
+            grads_acc, loss_acc = carry
+            mb, k = xs
+            loss, grads = jax.value_and_grad(flow_matching_loss)(
+                params, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), params)
+        keys = jax.random.split(key, accum)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        grads = apply_mask(grads, mask)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = apply_mask(updates, mask)
+        params = optax.apply_updates(params, updates)
+
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss_sum / accum, "grad_norm": gnorm}
+
+    return step
+
+
+def make_lora_train_step(
+    flux_cfg: FluxConfig,
+    vae_cfg: VAEConfig,
+    tc: TrainConfig,
+    tx: Optional[optax.GradientTransformation] = None,
+    *,
+    attn_impl: str = "auto",
+):
+    """LoRA train step: gradients flow only through the (A, B) factor tree."""
+    tx = tx or make_optimizer(tc)
+    scale = tc.lora_alpha / tc.lora_rank
+
+    def step(base_params, lora, opt_state, vae_params, batch, key):
+        accum = batch["pixel_values"].shape[0]
+
+        def loss_fn(lora, mb, k):
+            merged = lora_merge(base_params, lora, scale)
+            return flow_matching_loss(
+                merged, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
+
+        def micro(carry, xs):
+            grads_acc, loss_acc = carry
+            mb, k = xs
+            loss, grads = jax.value_and_grad(loss_fn)(lora, mb, k)
+            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
+
+        zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), lora)
+        keys = jax.random.split(key, accum)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
+        grads = jax.tree.map(lambda g: g / accum, grads)
+
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        lora = optax.apply_updates(lora, updates)
+        return lora, opt_state, {"loss": loss_sum / accum, "grad_norm": optax.global_norm(grads)}
+
+    return step
