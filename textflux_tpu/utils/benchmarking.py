@@ -1,0 +1,42 @@
+"""Reliable on-device timing.
+
+The tunneled TPU (axon) resolves ``block_until_ready`` before execution truly
+finishes, so naive timing lies. The slope method chains data-dependent
+iterations and forces a scalar host read at the end; the per-iteration time is
+the slope between two iteration counts, cancelling the tunnel round-trip.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _run_chained(step: Callable, x0, iters: int) -> float:
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x)
+    leaves = [x] if not isinstance(x, (tuple, list)) else list(x)
+    _ = np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
+    return time.perf_counter() - t0
+
+
+def time_step(step: Callable, x0, *, iters_hi: int = 12, iters_lo: int = 3,
+              repeats: int = 3) -> float:
+    """Seconds per iteration of ``x = step(x)`` (x may be a pytree leaf).
+
+    step must be data-dependent on its input (the output feeds the next call)
+    so the device cannot elide or overlap iterations.
+    """
+    _run_chained(step, x0, 1)  # warmup / compile
+    best = float("inf")
+    for _ in range(repeats):
+        t_hi = _run_chained(step, x0, iters_hi)
+        t_lo = _run_chained(step, x0, iters_lo)
+        per = (t_hi - t_lo) / (iters_hi - iters_lo)
+        best = min(best, per)
+    return max(best, 1e-9)
