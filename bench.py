@@ -1,0 +1,199 @@
+"""Headline benchmark: estimated seconds/image for TextFlux-beta-style
+single-line 512px inference (30 denoise steps, 592x512 concat canvas).
+
+The full 12B FLUX DiT does not fit one v5e chip in bf16, so the transformer
+step time is measured at full width (3072 hidden, 24 heads, real 1696-token
+joint sequence) at two depths and extrapolated linearly to 19 double + 38
+single blocks: t(D, S) = D*t_double + S*t_single (per-block cost is exact under
+lax.scan). VAE encode+decode and text encoders are measured directly. All
+timing uses the slope method (tunnel-safe; see textflux_tpu.utils.benchmarking).
+
+Baseline: TextFlux-beta 10.9 s/img (reference README.md:82, hardware unstated).
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
+"""
+
+import gc
+import json
+import sys
+
+import numpy as np
+
+
+BASELINE_S_PER_IMG = 10.9
+STEPS = 30
+# 512px single-line: 512x512 scene + 80px glyph strip -> 592x512 canvas (//16)
+HEIGHT, WIDTH = 592, 512
+T_TXT = 512
+
+
+def zeros_like_tree(tree_shape):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda sd: jnp.zeros(sd.shape, sd.dtype), tree_shape)
+
+
+def bench_transformer_step(depths, t_img, t_txt, attn_impl="pallas"):
+    """Measure the full sampling step (DiT fwd + Euler) at given depths.
+    Returns dict depth -> seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from textflux_tpu.config import FluxConfig
+    from textflux_tpu.models.transformer import flux_apply, init_flux_params
+    from textflux_tpu.ops import packing, samplers
+    from textflux_tpu.ops.rope import rope_tables
+    from textflux_tpu.utils.benchmarking import time_step
+
+    lat_h, lat_w = HEIGHT // 8, WIDTH // 8
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], 0)
+
+    times = {}
+    for nd, ns in depths:
+        cfg = FluxConfig(num_double_layers=nd, num_single_layers=ns)
+        shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+        shapes = jax.tree.map(
+            lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16)
+            if sd.dtype == jnp.float32 and sd.ndim >= 2 else sd, shapes)
+        params = zeros_like_tree(shapes)
+        cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+        cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
+        txt = jnp.zeros((1, t_txt, cfg.joint_dim), jnp.bfloat16)
+        pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
+        guidance = jnp.full((1,), 30.0, jnp.float32)
+
+        def step(lat, params=params, cfg=cfg, cond=cond, txt=txt, pooled=pooled,
+                 guidance=guidance, cos=cos, sin=sin):
+            v = flux_apply(
+                params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
+                jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
+                attn_impl=attn_impl)
+            return samplers.euler_step(lat, v, 0.5, 0.45)
+
+        lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
+        times[(nd, ns)] = time_step(jax.jit(step), lat0, iters_hi=8, iters_lo=2, repeats=2)
+        del params
+        gc.collect()
+    return times
+
+
+def bench_vae_roundtrip():
+    import jax
+    import jax.numpy as jnp
+
+    from textflux_tpu.config import VAEConfig
+    from textflux_tpu.models.vae import init_vae_params, vae_decode, vae_encode
+    from textflux_tpu.utils.benchmarking import time_step
+
+    cfg = VAEConfig()
+    shapes = jax.eval_shape(lambda k: init_vae_params(k, cfg), jax.random.PRNGKey(0))
+    shapes = jax.tree.map(lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16), shapes)
+    params = zeros_like_tree(shapes)
+
+    def step(lat):
+        img = vae_decode(params, cfg, lat)
+        return vae_encode(params, cfg, img)
+
+    lat0 = jnp.zeros((1, HEIGHT // 8, WIDTH // 8, 16), jnp.bfloat16)
+    t = time_step(jax.jit(step), lat0, iters_hi=6, iters_lo=2, repeats=2)
+    del params
+    gc.collect()
+    return t
+
+
+def bench_text_encoders():
+    import jax
+    import jax.numpy as jnp
+
+    from textflux_tpu.config import CLIPTextConfig, T5Config
+    from textflux_tpu.models.clip import clip_encode, init_clip_params
+    from textflux_tpu.models.t5 import init_t5_params, t5_encode
+    from textflux_tpu.utils.benchmarking import time_step
+
+    t5_cfg = T5Config()
+    shapes = jax.eval_shape(lambda k: init_t5_params(k, t5_cfg), jax.random.PRNGKey(0))
+    shapes = jax.tree.map(
+        lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16) if sd.ndim >= 2 else sd,
+        shapes)
+    t5_params = zeros_like_tree(shapes)
+
+    def t5_step(ids):
+        out = t5_encode(t5_params, t5_cfg, ids, dtype=jnp.bfloat16)
+        return (ids + jnp.round(out[:, :, 0]).astype(jnp.int32)) % 32128
+
+    ids0 = jnp.zeros((1, T_TXT), jnp.int32)
+    t_t5 = time_step(jax.jit(t5_step), ids0, iters_hi=6, iters_lo=2, repeats=2)
+    del t5_params
+    gc.collect()
+
+    clip_cfg = CLIPTextConfig()
+    cshapes = jax.eval_shape(lambda k: init_clip_params(k, clip_cfg), jax.random.PRNGKey(0))
+    cshapes = jax.tree.map(
+        lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16) if sd.ndim >= 2 else sd,
+        cshapes)
+    clip_params = zeros_like_tree(cshapes)
+
+    def clip_step(ids):
+        _, pooled = clip_encode(clip_params, clip_cfg, ids, dtype=jnp.bfloat16)
+        return (ids + jnp.round(pooled[:, :1]).astype(jnp.int32)) % 49408
+
+    cids0 = jnp.zeros((1, 77), jnp.int32)
+    t_clip = time_step(jax.jit(clip_step), cids0, iters_hi=6, iters_lo=2, repeats=2)
+    del clip_params
+    gc.collect()
+    return t_t5, t_clip
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    lat_h, lat_w = HEIGHT // 8, WIDTH // 8
+    t_img = (lat_h // 2) * (lat_w // 2)
+
+    attn = "pallas" if backend == "tpu" else "xla"
+    depths = [(2, 8), (6, 4)]  # linearly independent in (D, S)
+    times = bench_transformer_step(depths, t_img, T_TXT, attn_impl=attn)
+
+    # t(D,S) = D*td + S*ts  (ratio S=2D in both configs keeps this well-posed
+    # only with the base overhead folded in; solve exactly from the two points)
+    (d1, s1), (d2, s2) = depths
+    t1, t2 = times[(d1, s1)], times[(d2, s2)]
+    det = d1 * s2 - d2 * s1
+    if det != 0:
+        td = (t1 * s2 - t2 * s1) / det
+        ts = (d1 * t2 - d2 * t1) / det
+    else:  # same ratio: split by per-block param cost (double ~ 2.4x single)
+        slope = (t2 - t1) / ((d2 - d1) + (s2 - s1))
+        td, ts = 2.4 * slope, slope
+    t_step_full = 19 * td + 38 * ts
+
+    t_vae = bench_vae_roundtrip()
+    t_t5, t_clip = bench_text_encoders()
+
+    s_per_img = STEPS * t_step_full + t_vae + t_t5 + t_clip
+    result = {
+        "metric": "s_per_img_512px_singleline_30steps",
+        "value": round(s_per_img, 4),
+        "unit": "s/img",
+        "vs_baseline": round(BASELINE_S_PER_IMG / s_per_img, 2),
+        "backend": backend,
+        "breakdown": {
+            "transformer_step_full_s": round(t_step_full, 5),
+            "t_double_block_s": round(td, 6),
+            "t_single_block_s": round(ts, 6),
+            "vae_roundtrip_s": round(t_vae, 5),
+            "t5_xxl_512tok_s": round(t_t5, 5),
+            "clip_s": round(t_clip, 5),
+            "measured_depths": {f"{k}": round(v, 5) for k, v in times.items()},
+            "joint_seq_len": t_img + T_TXT,
+        },
+        "note": "full-width DiT step extrapolated from 2 measured depths (scan-stacked blocks); weights zeros-initialized (timing-equivalent)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
