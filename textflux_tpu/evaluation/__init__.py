@@ -1,0 +1,8 @@
+from textflux_tpu.evaluation.metrics import (  # noqa: F401
+    levenshtein,
+    normalized_edit_distance,
+    sequence_accuracy,
+    evaluate_texts,
+)
+from textflux_tpu.evaluation.crop import crop_polygon_region, min_bounding_rect  # noqa: F401
+from textflux_tpu.evaluation.fid import frechet_distance, gaussian_stats  # noqa: F401

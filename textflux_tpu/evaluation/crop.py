@@ -1,0 +1,76 @@
+"""Text-region cropping for OCR evaluation.
+
+Re-implements the reference recognizer's crop path (eval/recognizer.py:19-72:
+polygon mask -> min-area bounding rect -> similarity warp to an axis-aligned
+crop) with cv2 perspective warping instead of the torch affine_grid route.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def min_bounding_rect(mask: np.ndarray) -> np.ndarray:
+    """4x2 corner points (ordered tl, tr, br, bl) of the largest mask contour."""
+    if cv2 is None:
+        raise RuntimeError("requires cv2")
+    contours, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        raise ValueError("empty mask")
+    contour = max(contours, key=cv2.contourArea)
+    box = cv2.boxPoints(cv2.minAreaRect(contour))
+
+    # order corners: sum smallest = tl, largest = br; diff for tr/bl
+    s = box.sum(axis=1)
+    d = np.diff(box, axis=1).ravel()
+    ordered = np.zeros((4, 2), np.float32)
+    ordered[0] = box[np.argmin(s)]
+    ordered[2] = box[np.argmax(s)]
+    ordered[1] = box[np.argmin(d)]
+    ordered[3] = box[np.argmax(d)]
+    return ordered
+
+
+def crop_polygon_region(
+    image: np.ndarray,
+    polygon: Sequence[Sequence[float]],
+    *,
+    target_height: int = 48,
+    max_width: int = 320,
+) -> np.ndarray:
+    """Crop + rectify the quadrilateral text region to an axis-aligned strip.
+
+    Returns an (target_height, W<=max_width, 3) uint8 array suitable for a CTC
+    recognizer input.
+    """
+    if cv2 is None:
+        raise RuntimeError("requires cv2")
+    h, w = image.shape[:2]
+    mask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(mask, [np.asarray(polygon, np.int32)], 255)
+    corners = min_bounding_rect(mask)
+
+    tl, tr, br, bl = corners
+    width = int(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl)))
+    height = int(max(np.linalg.norm(bl - tl), np.linalg.norm(br - tr)))
+    width, height = max(width, 1), max(height, 1)
+    if height > width * 1.5:  # vertical text: rotate to horizontal
+        width, height = height, width
+        corners = np.roll(corners, 1, axis=0)
+
+    dst = np.array([[0, 0], [width - 1, 0], [width - 1, height - 1], [0, height - 1]],
+                   np.float32)
+    m = cv2.getPerspectiveTransform(corners.astype(np.float32), dst)
+    crop = cv2.warpPerspective(image, m, (width, height))
+
+    scale = target_height / crop.shape[0]
+    new_w = min(max(int(crop.shape[1] * scale), 1), max_width)
+    return cv2.resize(crop, (new_w, target_height))
