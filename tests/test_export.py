@@ -1,0 +1,89 @@
+"""Export roundtrips: our pytree -> diffusers state dict -> our pytree, plus
+LoRA export folding equivalence."""
+
+import numpy as np
+import jax
+import pytest
+
+from tests.helpers import FLUX_TINY
+from textflux_tpu.io.export import (
+    export_flux_state_dict,
+    export_lora_state_dict,
+    save_transformer_checkpoint,
+)
+from textflux_tpu.io.lora import fold_lora_into_state_dict
+from textflux_tpu.io.params import convert_flux_state_dict, load_flux_transformer
+from textflux_tpu.models.transformer import init_flux_params
+from textflux_tpu.training.train import lora_init, lora_merge
+
+
+def test_state_dict_roundtrip():
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    sd = export_flux_state_dict(params, FLUX_TINY)
+    back = convert_flux_state_dict(sd, FLUX_TINY)
+
+    flat_a = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(back)[0]}
+    assert flat_a.keys() == flat_b.keys()
+    for key in flat_a:
+        np.testing.assert_allclose(np.asarray(flat_a[key]), np.asarray(flat_b[key]),
+                                   atol=0, err_msg=key)
+
+
+def test_roundtrip_against_torch_oracle(torch_oracle):
+    """Export must load into the reference FluxTransformer2DModel."""
+    import torch
+    from diffusers import FluxTransformer2DModel
+
+    params = init_flux_params(jax.random.PRNGKey(1), FLUX_TINY)
+    sd = export_flux_state_dict(params, FLUX_TINY)
+    model = FluxTransformer2DModel(
+        patch_size=1, in_channels=FLUX_TINY.in_channels, out_channels=FLUX_TINY.out_channels,
+        num_layers=FLUX_TINY.num_double_layers, num_single_layers=FLUX_TINY.num_single_layers,
+        num_attention_heads=FLUX_TINY.num_heads, attention_head_dim=FLUX_TINY.head_dim,
+        joint_attention_dim=FLUX_TINY.joint_dim, pooled_projection_dim=FLUX_TINY.pooled_dim,
+        guidance_embeds=True, axes_dims_rope=list(FLUX_TINY.axes_dims_rope))
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=True)
+    assert not missing and not unexpected
+
+
+def test_checkpoint_save_load(tmp_path):
+    import jax.numpy as jnp
+
+    params = init_flux_params(jax.random.PRNGKey(2), FLUX_TINY)
+    out = str(tmp_path / "transformer")
+    save_transformer_checkpoint(params, FLUX_TINY, out)
+    loaded = load_flux_transformer(out, FLUX_TINY, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded["double"]["img_qkv"]["w"]),
+        np.asarray(params["double"]["img_qkv"]["w"]), atol=1e-6)
+
+
+def test_lora_export_folding_equivalence():
+    """Folding the exported LoRA into the exported base == merging factors."""
+    params = init_flux_params(jax.random.PRNGKey(3), FLUX_TINY)
+    lora = lora_init(jax.random.PRNGKey(4), params, FLUX_TINY, rank=4)
+    # make B nonzero so the delta is real
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    alpha, rank = 8.0, 4
+    scale = alpha / rank
+
+    merged = lora_merge(params, lora, scale)
+
+    base_sd = export_flux_state_dict(params, FLUX_TINY)
+    lora_sd = export_lora_state_dict(lora, FLUX_TINY, alpha)
+    folded_sd = fold_lora_into_state_dict(base_sd, lora_sd, scale=1.0)
+    folded = convert_flux_state_dict(folded_sd, FLUX_TINY)
+
+    np.testing.assert_allclose(
+        np.asarray(folded["double"]["img_qkv"]["w"]),
+        np.asarray(merged["double"]["img_qkv"]["w"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(folded["single"]["linear1"]["w"]),
+        np.asarray(merged["single"]["linear1"]["w"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(folded["single"]["linear2"]["w"]),
+        np.asarray(merged["single"]["linear2"]["w"]), atol=1e-5)
