@@ -1,0 +1,241 @@
+"""Training driver (parity with /root/reference/scripts/train.py and
+train_lora.py in one CLI).
+
+Flow per optimizer step (one jitted XLA program):
+  text embeddings (frozen CLIP/T5, jitted) -> flow-matching microbatch scan
+  with remat -> masked AdamW update over the fsdp-sharded state.
+
+Usage:
+  python -m textflux_tpu.cli.train \
+      --model /path/to/FLUX.1-Fill-dev [--transformer path] \
+      --data-json data.json --data-images imgs/      (AnyWord single-line)
+      | --data-dir combined/ [--multi-dataset]       (pre-combined folders)
+      --output-dir out/ [--mode attn|all|lora] [--lora-rank 128]
+      [--learning-rate 2e-5] [--train-batch-size 1] [--grad-accum 8]
+      [--max-train-steps 10000] [--checkpointing-steps 5000]
+      [--resume-from-checkpoint latest] [--mesh dp,fsdp,tp]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="textflux-tpu trainer")
+    p.add_argument("--model", required=True)
+    p.add_argument("--transformer", default=None)
+    p.add_argument("--data-json", default=None)
+    p.add_argument("--data-images", default=None)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--multi-dataset", action="store_true")
+    p.add_argument("--caption-type", default="txt")
+    p.add_argument("--resolution", type=int, nargs="*", default=None)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--mode", choices=["attn", "all", "lora"], default="attn")
+    p.add_argument("--lora-rank", type=int, default=128)
+    p.add_argument("--lora-alpha", type=float, default=128.0)
+    p.add_argument("--learning-rate", type=float, default=2e-5)
+    p.add_argument("--train-batch-size", type=int, default=1)
+    p.add_argument("--grad-accum", type=int, default=8)
+    p.add_argument("--guidance-scale", type=float, default=1.0)
+    p.add_argument("--weighting-scheme", default="none")
+    p.add_argument("--max-train-steps", type=int, default=10000)
+    p.add_argument("--checkpointing-steps", type=int, default=5000)
+    p.add_argument("--checkpoints-total-limit", type=int, default=3)
+    p.add_argument("--resume-from-checkpoint", default=None)
+    p.add_argument("--max-sequence-length", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mesh", default=None, help="dp,fsdp,tp (default: all fsdp)")
+    p.add_argument("--log-every", type=int, default=10)
+    return p.parse_args(argv)
+
+
+def build_dataset(args):
+    from textflux_tpu.data import (
+        AnyWordSingleLineDataset,
+        CombinedFolderDataset,
+        UnionDataset,
+        PREFERRED_RESOLUTIONS,
+    )
+
+    resolutions = args.resolution or PREFERRED_RESOLUTIONS
+    if args.data_json:
+        return AnyWordSingleLineDataset(
+            [(args.data_json, args.data_images)], resolutions=resolutions, seed=args.seed)
+    if args.multi_dataset:
+        return UnionDataset(args.data_dir, img_size=resolutions,
+                            caption_type=args.caption_type, seed=args.seed)
+    return CombinedFolderDataset(args.data_dir, img_size=resolutions,
+                                 caption_type=args.caption_type, seed=args.seed)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from textflux_tpu.config import CLIPTextConfig, FluxConfig, T5Config, VAEConfig
+    from textflux_tpu.data import BucketedLoader
+    from textflux_tpu.io.export import (
+        export_lora_state_dict,
+        save_safetensors,
+        save_transformer_checkpoint,
+    )
+    from textflux_tpu.io.params import (
+        convert_clip_state_dict,
+        convert_t5_state_dict,
+        convert_vae_state_dict,
+        load_flux_transformer,
+        load_safetensors_dir,
+        to_device_params,
+    )
+    from textflux_tpu.models.clip import clip_encode
+    from textflux_tpu.models.t5 import t5_encode
+    from textflux_tpu.parallel import partitioning as PT
+    from textflux_tpu.pipeline.tokenizers import load_tokenizers
+    from textflux_tpu.training import train as TR
+    from textflux_tpu.training.checkpoint import CheckpointManager
+
+    from textflux_tpu.io.config_io import (
+        clip_config_from,
+        flux_config_from,
+        t5_config_from,
+        vae_config_from,
+    )
+
+    t_path_cfg = args.transformer or os.path.join(args.model, "transformer")
+    flux_cfg = flux_config_from(t_path_cfg)
+    vae_cfg = vae_config_from(os.path.join(args.model, "vae"))
+    clip_cfg = clip_config_from(os.path.join(args.model, "text_encoder"))
+    t5_cfg = t5_config_from(os.path.join(args.model, "text_encoder_2"))
+
+    tc = TR.TrainConfig(
+        learning_rate=args.learning_rate,
+        guidance_scale=args.guidance_scale,
+        weighting_scheme=args.weighting_scheme,
+        grad_accum=args.grad_accum,
+        mode=args.mode,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+    )
+
+    # mesh
+    n = len(jax.devices())
+    if args.mesh:
+        shape = tuple(int(x) for x in args.mesh.split(","))
+    else:
+        shape = (1, n, 1)
+    mesh = PT.make_mesh(shape)
+
+    # models
+    t_path = args.transformer or os.path.join(args.model, "transformer")
+    params = load_flux_transformer(t_path, flux_cfg, dtype=jnp.float32 if args.mode != "lora" else jnp.bfloat16)
+    vae_params = to_device_params(
+        convert_vae_state_dict(load_safetensors_dir(os.path.join(args.model, "vae")), vae_cfg))
+    clip_params = to_device_params(
+        convert_clip_state_dict(load_safetensors_dir(os.path.join(args.model, "text_encoder")), clip_cfg))
+    t5_params = to_device_params(
+        convert_t5_state_dict(load_safetensors_dir(os.path.join(args.model, "text_encoder_2")), t5_cfg))
+    clip_tok, t5_tok = load_tokenizers(args.model, max_t5_length=args.max_sequence_length)
+
+    encode_text = jax.jit(lambda cp, tp, cids, tids: (
+        clip_encode(cp, clip_cfg, cids, dtype=jnp.bfloat16)[1],
+        t5_encode(tp, t5_cfg, tids, dtype=jnp.bfloat16),
+    ))
+
+    with mesh:
+        params = PT.shard_tree(params, PT.flux_param_specs(flux_cfg), mesh)
+        vae_params = PT.replicate_tree(vae_params, mesh)
+
+        ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                                 max_to_keep=args.checkpoints_total_limit)
+
+        if args.mode == "lora":
+            lora = TR.lora_init(jax.random.PRNGKey(args.seed), params, flux_cfg, tc.lora_rank)
+            tx = TR.make_optimizer(tc)
+            opt_state = tx.init(lora)
+            step_fn = jax.jit(TR.make_lora_train_step(flux_cfg, vae_cfg, tc, tx))
+            state = {"lora": lora, "opt_state": opt_state, "step": 0}
+        else:
+            mask = (TR.attn_only_mask(params, flux_cfg, tc) if args.mode == "attn"
+                    else TR.all_trainable_mask(params))
+            tx = TR.make_optimizer(tc, mask)
+            opt_state = tx.init(params)
+            step_fn = jax.jit(TR.make_train_step(flux_cfg, vae_cfg, tc, tx))
+            state = {"params": params, "opt_state": opt_state, "step": 0}
+
+        if args.resume_from_checkpoint:
+            restored = ckpt.restore(template=state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from step {state['step']}")
+
+        dataset = build_dataset(args)
+        loader = BucketedLoader(dataset, batch_size=args.train_batch_size,
+                                grad_accum=args.grad_accum, seed=args.seed)
+        bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
+
+        key = jax.random.PRNGKey(args.seed)
+        step = int(state["step"])
+        log_path = os.path.join(args.output_dir, "train_log.jsonl")
+        os.makedirs(args.output_dir, exist_ok=True)
+        t_start = time.time()
+
+        while step < args.max_train_steps:
+            for batch in loader:
+                if step >= args.max_train_steps:
+                    break
+                cids = np.concatenate([clip_tok(p) for p in batch["clip_prompts"]])
+                tids = np.concatenate([t5_tok(p) for p in batch["prompts"]])
+                pooled, txt = encode_text(clip_params, t5_params,
+                                          jnp.asarray(cids), jnp.asarray(tids))
+                a, b = args.grad_accum, args.train_batch_size
+                device_batch = {
+                    "pixel_values": jax.device_put(
+                        jnp.asarray(batch["pixel_values"], jnp.bfloat16), bspec),
+                    "mask": jax.device_put(jnp.asarray(batch["mask"], jnp.bfloat16), bspec),
+                    "txt": jax.device_put(txt.reshape(a, b, *txt.shape[1:]), bspec),
+                    "pooled": jax.device_put(pooled.reshape(a, b, -1), bspec),
+                }
+                key, sub = jax.random.split(key)
+                if args.mode == "lora":
+                    state["lora"], state["opt_state"], metrics = step_fn(
+                        params, state["lora"], state["opt_state"], vae_params,
+                        device_batch, sub)
+                else:
+                    state["params"], state["opt_state"], metrics = step_fn(
+                        state["params"], state["opt_state"], mask, vae_params,
+                        device_batch, sub)
+                step += 1
+                state["step"] = step
+
+                if step % args.log_every == 0:
+                    entry = {"step": step, "loss": float(metrics["loss"]),
+                             "grad_norm": float(metrics["grad_norm"]),
+                             "elapsed_s": round(time.time() - t_start, 1)}
+                    print(json.dumps(entry))
+                    with open(log_path, "a") as f:
+                        f.write(json.dumps(entry) + "\n")
+                if step % args.checkpointing_steps == 0:
+                    ckpt.save(step, state)
+
+        # final artifact in diffusers layout
+        if args.mode == "lora":
+            sd = export_lora_state_dict(state["lora"], flux_cfg, tc.lora_alpha)
+            save_safetensors(sd, os.path.join(args.output_dir,
+                                              "pytorch_lora_weights.safetensors"))
+        else:
+            save_transformer_checkpoint(state["params"], flux_cfg,
+                                        os.path.join(args.output_dir, "transformer"))
+        print("training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,9 +33,10 @@ def make_mesh(shape: Optional[Tuple[int, int, int]] = None, devices=None) -> Mes
     n = len(devices)
     if shape is None:
         shape = (1, n, 1)
-    if np.prod(shape) != n:
-        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
-    arr = np.asarray(devices).reshape(shape)
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(shape)
     return Mesh(arr, MESH_AXES)
 
 

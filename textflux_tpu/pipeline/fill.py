@@ -258,6 +258,12 @@ class FillPipeline:
     ) -> "FillPipeline":
         """Load from a diffusers-layout checkpoint directory
         (subfolders: transformer/ vae/ text_encoder/ text_encoder_2/ tokenizer*/)."""
+        from textflux_tpu.io.config_io import (
+            clip_config_from,
+            flux_config_from,
+            t5_config_from,
+            vae_config_from,
+        )
         from textflux_tpu.io.params import (
             convert_clip_state_dict,
             convert_t5_state_dict,
@@ -267,8 +273,8 @@ class FillPipeline:
             to_device_params,
         )
 
-        flux_cfg = FluxConfig()
         t_path = transformer_path or os.path.join(base_path, "transformer")
+        flux_cfg = flux_config_from(t_path)
         if lora_path is None:
             flux_params = load_flux_transformer(t_path, flux_cfg, dtype=dtype)
         else:
@@ -277,15 +283,15 @@ class FillPipeline:
             flux_params = load_folded_flux_transformer(
                 t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
 
-        vae_cfg = VAEConfig()
+        vae_cfg = vae_config_from(os.path.join(base_path, "vae"))
         vae_sd = load_safetensors_dir(os.path.join(base_path, "vae"))
         vae_params = to_device_params(convert_vae_state_dict(vae_sd, vae_cfg), dtype=dtype)
 
-        clip_cfg = CLIPTextConfig()
+        clip_cfg = clip_config_from(os.path.join(base_path, "text_encoder"))
         clip_sd = load_safetensors_dir(os.path.join(base_path, "text_encoder"))
         clip_params = to_device_params(convert_clip_state_dict(clip_sd, clip_cfg), dtype=dtype)
 
-        t5_cfg = T5Config()
+        t5_cfg = t5_config_from(os.path.join(base_path, "text_encoder_2"))
         t5_sd = load_safetensors_dir(os.path.join(base_path, "text_encoder_2"))
         t5_params = to_device_params(convert_t5_state_dict(t5_sd, t5_cfg), dtype=dtype)
 
