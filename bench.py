@@ -64,16 +64,20 @@ def bench_transformer_step(depths, t_img, t_txt, attn_impl="pallas"):
         pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
         guidance = jnp.full((1,), 30.0, jnp.float32)
 
-        def step(lat, params=params, cfg=cfg, cond=cond, txt=txt, pooled=pooled,
-                 guidance=guidance, cos=cos, sin=sin):
+        # params/cond/etc. must be jit ARGUMENTS: closed-over arrays lower as
+        # captured constants, which the tunneled backend re-ships per compile
+        def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
             v = flux_apply(
                 params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
                 jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
                 attn_impl=attn_impl)
             return samplers.euler_step(lat, v, 0.5, 0.45)
 
+        jitted = jax.jit(step_fn)
         lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
-        times[(nd, ns)] = time_step(jax.jit(step), lat0, iters_hi=8, iters_lo=2, repeats=2)
+        times[(nd, ns)] = time_step(
+            lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
+            lat0, iters_hi=8, iters_lo=2, repeats=2)
         del params
         gc.collect()
     return times
@@ -92,12 +96,13 @@ def bench_vae_roundtrip():
     shapes = jax.tree.map(lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16), shapes)
     params = zeros_like_tree(shapes)
 
-    def step(lat):
+    def step_fn(params, lat):
         img = vae_decode(params, cfg, lat)
         return vae_encode(params, cfg, img)
 
+    jitted = jax.jit(step_fn)
     lat0 = jnp.zeros((1, HEIGHT // 8, WIDTH // 8, 16), jnp.bfloat16)
-    t = time_step(jax.jit(step), lat0, iters_hi=6, iters_lo=2, repeats=2)
+    t = time_step(lambda lat: jitted(params, lat), lat0, iters_hi=6, iters_lo=2, repeats=2)
     del params
     gc.collect()
     return t
@@ -119,12 +124,14 @@ def bench_text_encoders():
         shapes)
     t5_params = zeros_like_tree(shapes)
 
-    def t5_step(ids):
-        out = t5_encode(t5_params, t5_cfg, ids, dtype=jnp.bfloat16)
+    def t5_step(params, ids):
+        out = t5_encode(params, t5_cfg, ids, dtype=jnp.bfloat16)
         return (ids + jnp.round(out[:, :, 0]).astype(jnp.int32)) % 32128
 
+    jitted_t5 = jax.jit(t5_step)
     ids0 = jnp.zeros((1, T_TXT), jnp.int32)
-    t_t5 = time_step(jax.jit(t5_step), ids0, iters_hi=6, iters_lo=2, repeats=2)
+    t_t5 = time_step(lambda ids: jitted_t5(t5_params, ids), ids0,
+                     iters_hi=6, iters_lo=2, repeats=2)
     del t5_params
     gc.collect()
 
@@ -135,12 +142,14 @@ def bench_text_encoders():
         cshapes)
     clip_params = zeros_like_tree(cshapes)
 
-    def clip_step(ids):
-        _, pooled = clip_encode(clip_params, clip_cfg, ids, dtype=jnp.bfloat16)
+    def clip_step(params, ids):
+        _, pooled = clip_encode(params, clip_cfg, ids, dtype=jnp.bfloat16)
         return (ids + jnp.round(pooled[:, :1]).astype(jnp.int32)) % 49408
 
+    jitted_clip = jax.jit(clip_step)
     cids0 = jnp.zeros((1, 77), jnp.int32)
-    t_clip = time_step(jax.jit(clip_step), cids0, iters_hi=6, iters_lo=2, repeats=2)
+    t_clip = time_step(lambda ids: jitted_clip(clip_params, ids), cids0,
+                       iters_hi=6, iters_lo=2, repeats=2)
     del clip_params
     gc.collect()
     return t_t5, t_clip

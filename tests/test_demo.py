@@ -1,0 +1,54 @@
+"""Demo callback tests on the tiny pipeline (gradio-free)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.helpers import tiny_pipeline
+from textflux_tpu.cli.demo import demo_custom, demo_custom_beta, demo_normal
+from textflux_tpu.rendering import load_font
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+@pytest.fixture()
+def scene(rng):
+    original = Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8))
+    drawn = np.array(original).copy()
+    drawn[20:40, 30:70] = 255
+    return original, Image.fromarray(drawn)
+
+
+def test_demo_custom(pipe, scene):
+    original, drawn = scene
+    font = load_font(size=40)
+    cropped, full, rendered = demo_custom(
+        pipe, original, drawn, "hi", steps=1, seed=0, sampler="euler", font=font)
+    assert full.size == (96, 128)     # vertical concat, snapped
+    assert cropped.size == (96, 64)
+
+
+def test_demo_normal(pipe, scene):
+    original, _ = scene
+    mask = Image.new("RGB", original.size, 0)
+    out = demo_normal(pipe, original, mask, "word", steps=1, sampler="euler")
+    assert out.size == (96, 64)
+
+
+def test_demo_custom_beta_singleline(pipe, scene):
+    original, drawn = scene
+    cropped, full, strip = demo_custom_beta(
+        pipe, original, drawn, "single", steps=1, seed=0, sampler="euler")
+    assert strip.size[1] == int(96 * 0.15625)
+    assert full.size[0] == 96
+
+
+def test_demo_custom_beta_multiline(pipe, scene):
+    original, drawn = scene
+    cropped, full, strip = demo_custom_beta(
+        pipe, original, drawn, "one\ntwo", steps=1, seed=0, sampler="euler")
+    # stacked strips: 2 * min(96//6, 64/2) = 2*16
+    assert strip.size == (96, 32)

@@ -1,0 +1,159 @@
+"""Gradio demos (parity with /root/reference/demo.py and demo_beta.py).
+
+The UI callbacks are pure functions over a FillPipeline so they test without
+gradio (which is not installed in minimal environments — the UI layer is
+gated).
+
+  demo_custom           — original demo: sketch/mask -> always multi-line
+                          glyph-in-region conditioning (demo.py:399-495)
+  demo_normal           — pre-combined image+mask inputs (demo.py:130)
+  demo_custom_beta      — beta: single-line strip when one line; multi-line as
+                          stacked strips of height min(w//6, h/num_texts)
+                          (demo_beta.py:235-320)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from textflux_tpu.pipeline.prompts import build_prompts, read_words
+from textflux_tpu.rendering import (
+    SINGLE_LINE_STRIP_RATIO,
+    concat_multiline,
+    concat_singleline,
+    crop_multiline_result,
+    crop_singleline_result,
+    draw_glyph_flexible,
+    extract_mask,
+    load_font,
+    render_glyph_multi,
+)
+
+
+def _snap32(img: Image.Image) -> Image.Image:
+    w, h = img.size
+    return img.resize(((w // 32) * 32, (h // 32) * 32))
+
+
+def _run_pipe(pipe, image, mask, words, steps, guidance, seed, sampler="overshoot"):
+    image, mask = _snap32(image), _snap32(mask)
+    prompt, prompt_2 = build_prompts(words)
+    return pipe(
+        image=image, mask_image=mask, prompt=prompt, prompt_2=prompt_2,
+        width=image.size[0], height=image.size[1],
+        num_inference_steps=steps, guidance_scale=guidance, seed=seed,
+        sampler=sampler,
+    )[0]
+
+
+def demo_custom(pipe, original: Image.Image, drawn, words_text: str,
+                steps: int = 30, guidance: float = 30.0, seed: int = 42,
+                sampler: str = "overshoot", font=None):
+    """Custom mode: extract the sketch mask, render per-region glyphs, fill."""
+    words = read_words(words_text)
+    mask = extract_mask(original, drawn)
+    rendered = render_glyph_multi(original, mask, words, font=font)
+    combined, combined_mask, direction = concat_multiline(original, mask, rendered)
+    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+    return crop_multiline_result(result, direction), result, rendered
+
+
+def demo_normal(pipe, combined: Image.Image, combined_mask: Image.Image,
+                words_text: str, steps: int = 30, guidance: float = 30.0,
+                seed: int = 42, sampler: str = "overshoot"):
+    """Normal mode: inputs are already concatenated."""
+    words = read_words(words_text)
+    return _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+
+
+def _stacked_strips(original: Image.Image, words: List[str], font) -> Image.Image:
+    """Beta multi-line: one strip per line, each min(w//6, h/num_texts) tall."""
+    w, h = original.size
+    strip_h = int(min(w // 6, h / max(len(words), 1)))
+    strips = [
+        np.array(draw_glyph_flexible(font, t, w, strip_h).convert("RGB"))
+        for t in words
+    ]
+    return Image.fromarray(np.vstack(strips))
+
+
+def demo_custom_beta(pipe, original: Image.Image, drawn, words_text: str,
+                     steps: int = 30, guidance: float = 30.0, seed: int = 42,
+                     sampler: str = "overshoot", font=None):
+    """Beta custom mode: strip-based conditioning, dispatch on line count."""
+    words = read_words(words_text)
+    mask = extract_mask(original, drawn)
+    font = font or load_font(size=60)
+
+    if len(words) <= 1:
+        w = original.size[0]
+        strip = draw_glyph_flexible(font, " ".join(words), w,
+                                    int(w * SINGLE_LINE_STRIP_RATIO))
+    else:
+        strip = _stacked_strips(original, words, font)
+    combined, combined_mask, strip_h = concat_singleline(original, mask, strip)
+    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+    return crop_singleline_result(result, original.size[1], strip_h), result, strip
+
+
+def build_ui(pipe, *, beta: bool = False):
+    """Construct the gradio Blocks app (requires gradio)."""
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "gradio is not installed; the demo callbacks remain usable "
+            "programmatically (demo_custom / demo_normal / demo_custom_beta)"
+        ) from e
+
+    custom_fn = demo_custom_beta if beta else demo_custom
+
+    with gr.Blocks(title="textflux-tpu") as app:
+        gr.Markdown("# TextFlux (TPU) — scene text synthesis & editing")
+        with gr.Tab("Custom Mode"):
+            original = gr.Image(type="pil", label="Original", tool="sketch")
+            words = gr.Textbox(lines=3, label="Words (one per line)")
+            steps = gr.Slider(1, 100, value=30, step=1, label="Steps")
+            guidance = gr.Slider(1, 60, value=30, label="Guidance")
+            seed = gr.Number(value=42, label="Seed")
+            out = gr.Image(label="Result (cropped)")
+            run = gr.Button("Generate")
+            run.click(
+                lambda img, w, s, g, sd: custom_fn(pipe, img["image"], img, w,
+                                                   int(s), float(g), int(sd))[0],
+                [original, words, steps, guidance, seed], out)
+        with gr.Tab("Normal Mode"):
+            combined = gr.Image(type="pil", label="Combined image")
+            cmask = gr.Image(type="pil", label="Combined mask")
+            words2 = gr.Textbox(lines=3, label="Words")
+            out2 = gr.Image(label="Result")
+            run2 = gr.Button("Generate")
+            run2.click(
+                lambda a, b, w: demo_normal(pipe, a, b, w),
+                [combined, cmask, words2], out2)
+    return app
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="textflux-tpu gradio demo")
+    p.add_argument("--model", required=True)
+    p.add_argument("--transformer", default=None)
+    p.add_argument("--lora", default=None)
+    p.add_argument("--beta", action="store_true")
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args()
+
+    from textflux_tpu.pipeline.fill import FillPipeline
+
+    pipe = FillPipeline.from_pretrained(
+        args.model, transformer_path=args.transformer, lora_path=args.lora)
+    build_ui(pipe, beta=args.beta).launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()
