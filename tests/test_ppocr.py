@@ -1,0 +1,98 @@
+"""PP-OCR recognizer parity vs the reference torch RecModel (eval/ocr_recog)."""
+
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from textflux_tpu.evaluation.ppocr import (
+    PPOCRConfig,
+    PPOCRRecognizer,
+    convert_ppocr_state_dict,
+    ctc_greedy_decode,
+    init_ppocr_params,
+    preprocess_crop,
+    recognizer_apply,
+)
+
+
+class AttrDict(dict):
+    __getattr__ = dict.__getitem__
+
+    def pop(self, k, *a):
+        return dict.pop(self, k, *a)
+
+
+@pytest.fixture(scope="module")
+def oracle_rec(request):
+    request.getfixturevalue("torch_oracle")
+    import torch
+
+    sys.path.insert(0, "/root/reference/eval")
+    from ocr_recog.RecModel import RecModel
+
+    torch.manual_seed(0)
+    config = AttrDict(
+        in_channels=3,
+        backbone=AttrDict(type="MobileNetV1Enhance", scale=0.5,
+                          last_conv_stride=[1, 2], last_pool_type="avg"),
+        neck=AttrDict(type="SequenceEncoder", encoder_type="svtr", dims=64,
+                      depth=2, hidden_dims=120, use_guide=False),
+        head=AttrDict(type="CTCHead", fc_decay=1e-5, out_channels=97,
+                      return_feats=False),
+    )
+    return RecModel(config).eval()
+
+
+def test_forward_parity(oracle_rec, rng):
+    import torch
+
+    cfg = PPOCRConfig(n_class=97)
+    sd = {k: v.detach().numpy() for k, v in oracle_rec.state_dict().items()}
+    params = convert_ppocr_state_dict(sd, cfg)
+
+    x = rng.standard_normal((2, 3, 48, 64)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = oracle_rec(torch.from_numpy(x)).numpy()
+    ours = np.asarray(recognizer_apply(params, cfg, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_param_count(oracle_rec):
+    cfg = PPOCRConfig(n_class=97)
+    sd = {k: v.detach().numpy() for k, v in oracle_rec.state_dict().items()}
+    params = convert_ppocr_state_dict(sd, cfg)
+    n_ours = sum(int(x.size) for x in jax.tree.leaves(params))
+    n_ref = sum(v.numel() for k, v in oracle_rec.state_dict().items()
+                if "num_batches_tracked" not in k)
+    assert n_ours == n_ref
+
+
+def test_ctc_decode():
+    charset = ["sos", "a", "b", "c", " "]
+    t = np.zeros((1, 6, 5), np.float32)
+    # a a blank b b c -> "abc"
+    for i, idx in enumerate([1, 1, 0, 2, 2, 3]):
+        t[0, i, idx] = 5.0
+    assert ctc_greedy_decode(t, charset) == ["abc"]
+
+
+def test_preprocess_crop(rng):
+    crop = rng.integers(0, 255, (30, 100, 3), np.uint8)
+    out = preprocess_crop(crop)
+    assert out.shape == (1, 48, 320, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # right side is zero padding
+    assert np.abs(out[0, :, -10:]).max() == 0.0
+
+
+def test_recognizer_callable(rng):
+    cfg = PPOCRConfig(n_class=10)
+    params = init_ppocr_params(jax.random.PRNGKey(0), cfg)
+    rec = PPOCRRecognizer(params, cfg, ["sos"] + list("abcdefgh") + [" "])
+    crop = rng.integers(0, 255, (48, 96, 3), np.uint8)
+    out = rec(crop)
+    assert isinstance(out, str)
