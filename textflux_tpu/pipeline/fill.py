@@ -241,6 +241,107 @@ class FillPipeline:
         return improc.postprocess_image(images_np)
 
     # ------------------------------------------------------------------
+    # multi-chip serving
+    # ------------------------------------------------------------------
+
+    def shard_for_serving(self, mesh) -> None:
+        """Reshard pipeline params over a ("data", "fsdp", "tensor") mesh:
+        the DiT tensor-shards (fits the 12B model on small slices), VAE and
+        text encoders replicate, and batches shard over the data axes.
+
+        This is the TPU-native replacement for the reference's
+        process-per-GPU eval farm (scripts/run_eval.py:221-247): one jitted
+        program, GSPMD inserts the collectives.
+        """
+        from textflux_tpu.parallel import partitioning as PT
+
+        self.mesh = mesh
+        self.flux_params = PT.shard_tree(
+            self.flux_params, PT.flux_param_specs(self.flux_cfg), mesh)
+        self.vae_params = PT.replicate_tree(self.vae_params, mesh)
+        if self.clip_params is not None:
+            self.clip_params = PT.replicate_tree(self.clip_params, mesh)
+        if self.t5_params is not None:
+            self.t5_params = PT.replicate_tree(self.t5_params, mesh)
+
+    def generate_batch(
+        self,
+        images,
+        masks,
+        words_list,
+        *,
+        height: int,
+        width: int,
+        num_inference_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        seed: int = 42,
+        sampler: Optional[str] = None,
+        dtype=jnp.bfloat16,
+    ):
+        """Batched generation: all samples share one (height, width) bucket;
+        T5 prompts differ per sample, CLIP uses the shared generic template.
+        When shard_for_serving was called, the batch data-shards over the mesh.
+        """
+        from textflux_tpu.pipeline.prompts import GENERIC_TEMPLATE, words_prompt
+
+        cfgp = self.pipe_cfg
+        steps = num_inference_steps or cfgp.num_inference_steps
+        guidance_scale = cfgp.guidance_scale if guidance_scale is None else guidance_scale
+        sampler = sampler or cfgp.sampler
+        width, height = (width // 16) * 16, (height // 16) * 16
+
+        img = jnp.asarray(np.concatenate(
+            [improc.preprocess_image(im, height, width) for im in images]), dtype)
+        mask = jnp.asarray(np.concatenate(
+            [improc.preprocess_mask(m, height, width) for m in masks]), dtype)
+
+        clip_ids = np.concatenate([self.clip_tokenize(GENERIC_TEMPLATE)] * len(images))
+        t5_ids = np.concatenate([self.t5_tokenize(words_prompt(w)) for w in words_list])
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bspec = NamedSharding(mesh, P(("data", "fsdp")))
+            img = jax.device_put(img, bspec)
+            mask = jax.device_put(mask, bspec)
+            clip_ids = jax.device_put(jnp.asarray(clip_ids), bspec)
+            t5_ids = jax.device_put(jnp.asarray(t5_ids), bspec)
+        pooled, txt = self._encode_text(
+            self.clip_params, self.t5_params, jnp.asarray(clip_ids),
+            jnp.asarray(t5_ids), dtype)
+
+        b = img.shape[0]
+        lat_h = height // self.vae_cfg.spatial_factor
+        lat_w = width // self.vae_cfg.spatial_factor
+        t_img = (lat_h // 2) * (lat_w // 2)
+
+        key = jax.random.PRNGKey(seed)
+        key_noise, key_vae, key_steps = jax.random.split(key, 3)
+        cond = self._prepare_cond(self.vae_params, img, mask, key_vae)
+        latents = jax.random.normal(
+            key_noise, (b, t_img, self.vae_cfg.latent_channels * 4), jnp.float32
+        ).astype(dtype)
+        if mesh is not None:
+            latents = jax.device_put(latents, bspec)
+
+        ids = np.concatenate(
+            [packing.text_ids(txt.shape[1]), packing.latent_image_ids(lat_h, lat_w)], axis=0)
+        cos, sin = rope_tables(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
+        sigmas = samplers.make_schedule(
+            steps, t_img, base_seq_len=cfgp.base_image_seq_len,
+            max_seq_len=cfgp.max_image_seq_len,
+            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift)
+        guidance = (jnp.full((b,), guidance_scale, jnp.float32)
+                    if self.flux_cfg.guidance_embeds else None)
+
+        latents = self._denoise(
+            self.flux_params, latents, cond, txt, pooled,
+            jnp.asarray(sigmas), guidance, jnp.asarray(cos), jnp.asarray(sin),
+            jax.random.split(key_steps, steps), sampler, float(cfgp.overshoot_c))
+        images_out = self._decode(self.vae_params, latents, lat_h, lat_w)
+        return improc.postprocess_image(np.asarray(images_out.astype(jnp.float32)))
+
+    # ------------------------------------------------------------------
     # loading
     # ------------------------------------------------------------------
 
