@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mesh", default=None, help="dp,fsdp,tp (default: all fsdp)")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--report-to", default="jsonl", choices=["jsonl", "wandb"])
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler trace for the first N steps")
     return p.parse_args(argv)
 
 
@@ -182,10 +185,17 @@ def main(argv=None):
                                 grad_accum=args.grad_accum, seed=args.seed)
         bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
 
+        from textflux_tpu.utils.tracking import Tracker, profile_trace
+
         key = jax.random.PRNGKey(args.seed)
         step = int(state["step"])
         log_path = os.path.join(args.output_dir, "train_log.jsonl")
         os.makedirs(args.output_dir, exist_ok=True)
+        tracker = Tracker(args.output_dir, use_wandb=(args.report_to == "wandb"),
+                          config=vars(args))
+        if args.profile_steps:
+            profiler_ctx = profile_trace(os.path.join(args.output_dir, "profile"))
+            profiler_ctx.__enter__()
         t_start = time.time()
 
         while step < args.max_train_steps:
@@ -216,6 +226,9 @@ def main(argv=None):
                 step += 1
                 state["step"] = step
 
+                if args.profile_steps and step == args.profile_steps:
+                    jax.block_until_ready(metrics["loss"])
+                    profiler_ctx.__exit__(None, None, None)
                 if step % args.log_every == 0:
                     entry = {"step": step, "loss": float(metrics["loss"]),
                              "grad_norm": float(metrics["grad_norm"]),
@@ -223,6 +236,8 @@ def main(argv=None):
                     print(json.dumps(entry))
                     with open(log_path, "a") as f:
                         f.write(json.dumps(entry) + "\n")
+                    tracker.log({"loss": entry["loss"], "grad_norm": entry["grad_norm"]},
+                                step)
                 if step % args.checkpointing_steps == 0:
                     ckpt.save(step, state)
 
