@@ -104,3 +104,23 @@ def test_lora_merge_zero_b_is_identity(rng):
     merged = TR.lora_merge(params, lora, 1.0)
     np.testing.assert_array_equal(np.asarray(merged["double"]["img_qkv"]["w"]),
                                   np.asarray(params["double"]["img_qkv"]["w"]))
+
+
+def test_prodigy_and_schedules(rng):
+    import optax
+
+    # prodigy runs with the reference's constant lr=1 (train_lora.sh)
+    tc = TR.TrainConfig(optimizer="prodigy", learning_rate=1.0,
+                        lr_scheduler="constant", max_train_steps=10)
+    tx = TR.make_optimizer(tc)
+    params = {"w": jnp.ones((4, 4))}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4)) * 0.1}
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new["w"])).all()
+
+    sched = TR.make_lr_schedule(TR.TrainConfig(lr_scheduler="linear",
+                                               lr_warmup_steps=5, max_train_steps=20))
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(2e-5, rel=1e-5)

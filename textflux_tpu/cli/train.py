@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--lora-rank", type=int, default=128)
     p.add_argument("--lora-alpha", type=float, default=128.0)
     p.add_argument("--learning-rate", type=float, default=2e-5)
+    p.add_argument("--optimizer", choices=["adamw", "prodigy"], default="adamw")
+    p.add_argument("--lr-scheduler", choices=["constant", "cosine", "linear"],
+                   default="constant")
+    p.add_argument("--lr-warmup-steps", type=int, default=0)
     p.add_argument("--train-batch-size", type=int, default=1)
     p.add_argument("--grad-accum", type=int, default=8)
     p.add_argument("--guidance-scale", type=float, default=1.0)
@@ -121,6 +125,10 @@ def main(argv=None):
 
     tc = TR.TrainConfig(
         learning_rate=args.learning_rate,
+        optimizer=args.optimizer,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
         guidance_scale=args.guidance_scale,
         weighting_scheme=args.weighting_scheme,
         grad_accum=args.grad_accum,

@@ -36,6 +36,10 @@ class TrainConfig:
     """Defaults mirror scripts/train.sh + parser_helper.py."""
 
     learning_rate: float = 2e-5
+    optimizer: str = "adamw"              # "adamw" | "prodigy" (train_lora.sh: lr 1)
+    lr_scheduler: str = "constant"        # "constant" | "cosine" | "linear"
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 10000
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
@@ -150,17 +154,41 @@ def lora_merge(params, lora, scale: float):
 # Optimizer / step
 # ---------------------------------------------------------------------------
 
+def make_lr_schedule(tc: TrainConfig):
+    """constant / cosine / linear with optional warmup (the reference delegates
+    to diffusers get_scheduler; train.sh uses constant, warmup 0)."""
+    if tc.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, tc.learning_rate, max(tc.lr_warmup_steps, 1), tc.max_train_steps)
+    if tc.lr_scheduler == "linear":
+        return optax.join_schedules([
+            optax.linear_schedule(0.0, tc.learning_rate, max(tc.lr_warmup_steps, 1)),
+            optax.linear_schedule(tc.learning_rate, 0.0,
+                                  max(tc.max_train_steps - tc.lr_warmup_steps, 1)),
+        ], [max(tc.lr_warmup_steps, 1)])
+    if tc.lr_warmup_steps:
+        return optax.warmup_constant_schedule(0.0, tc.learning_rate, tc.lr_warmup_steps)
+    return tc.learning_rate
+
+
 def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
-    """AdamW with global-norm clipping. When a trainable mask tree is given,
-    optimizer state is only allocated for leaves with any trainable entry
-    (optax.masked) — the fsdp-sharded analogue of DeepSpeed allocating state
-    for requires_grad params only."""
-    adamw = optax.adamw(tc.learning_rate, b1=tc.adam_b1, b2=tc.adam_b2,
-                        eps=tc.adam_eps, weight_decay=tc.weight_decay)
+    """AdamW (or Prodigy, the reference's LoRA default) with global-norm
+    clipping. When a trainable mask tree is given, optimizer state is only
+    allocated for leaves with any trainable entry (optax.masked) — the
+    fsdp-sharded analogue of DeepSpeed allocating state for requires_grad
+    params only."""
+    lr = make_lr_schedule(tc)
+    if tc.optimizer == "prodigy":
+        inner = optax.contrib.prodigy(
+            learning_rate=lr, betas=(tc.adam_b1, tc.adam_b2),
+            weight_decay=tc.weight_decay)
+    else:
+        inner = optax.adamw(lr, b1=tc.adam_b1, b2=tc.adam_b2,
+                            eps=tc.adam_eps, weight_decay=tc.weight_decay)
     if mask is not None:
         leaf_mask = jax.tree.map(lambda m: bool(np_any_trainable(m)), mask)
-        adamw = optax.masked(adamw, leaf_mask)
-    return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), adamw)
+        inner = optax.masked(inner, leaf_mask)
+    return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), inner)
 
 
 def np_any_trainable(m) -> bool:
