@@ -51,20 +51,19 @@ def _snap32(img: Image.Image) -> Image.Image:
 
 def _augment_mask(mask: np.ndarray, rng: random.Random) -> np.ndarray:
     """Random dilate/erode (70% none / 10% dilate1 / 10% erode1 / 5% dilate2 /
-    5% erode2)."""
-    if cv2 is None:
-        return mask
+    5% erode2), via the native C++ morphology kernels (cv2 fallback)."""
+    from textflux_tpu.data import native
+
     r = rng.random()
-    kernel = np.ones((3, 3), np.uint8)
     if r < 0.7:
         return mask
     if r < 0.8:
-        return cv2.dilate(mask, kernel, iterations=1)
+        return native.dilate(mask, 1)
     if r < 0.9:
-        return cv2.erode(mask, kernel, iterations=1)
+        return native.erode(mask, 1)
     if r < 0.95:
-        return cv2.dilate(mask, kernel, iterations=2)
-    return cv2.erode(mask, kernel, iterations=2)
+        return native.dilate(mask, 2)
+    return native.erode(mask, 2)
 
 
 class AnyWordSingleLineDataset:
@@ -121,10 +120,11 @@ class AnyWordSingleLineDataset:
         if polygon.shape[0] < 3 or not text:
             raise ValueError("bad annotation")
 
+        from textflux_tpu.data import native
+
         strip = draw_glyph_strip(self.font, text, w, h).convert("RGB")
         mask = np.zeros((h, w), np.uint8)
-        if cv2 is not None:
-            cv2.fillPoly(mask, [polygon], 255)
+        native.fill_poly(mask, polygon.astype(np.float32))
         mask = _augment_mask(mask, self.rng)
 
         combined = Image.fromarray(np.vstack((np.array(strip), np.array(img))))
