@@ -179,3 +179,18 @@ def test_lora_folding(rng):
     }
     out = fold_lora_into_state_dict(sd, lora, scale=0.5)
     np.testing.assert_allclose(out["x_embedder.weight"], w + 0.5 * 2.0 * (b @ a), rtol=1e-5)
+
+
+def test_seq_pad_multiple_matches_unpadded():
+    from tests.helpers import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    rng_l = np.random.default_rng(5)
+    img = Image.fromarray(rng_l.integers(0, 255, (32, 48, 3), np.uint8))
+    mask = np.zeros((32, 48), np.uint8)
+    mask[8:20, 10:30] = 255
+    kw = dict(image=img, mask_image=Image.fromarray(mask), words=["pad"],
+              seed=2, dtype=jnp.float32, output_type="np", sampler="euler")
+    ref = pipe(**kw)
+    out = pipe(**kw, seq_pad_multiple=64)   # t_img = 96 -> pads to 128
+    np.testing.assert_allclose(out, ref, atol=1e-4)

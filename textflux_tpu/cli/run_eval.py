@@ -101,6 +101,8 @@ def main():
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
     p.add_argument("--font", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--seq-pad-multiple", type=int, default=256,
+                   help="bucket image-token counts to cut XLA recompiles across resolutions")
     args = p.parse_args()
 
     from textflux_tpu.pipeline.fill import FillPipeline
@@ -130,6 +132,7 @@ def main():
                 width=prep["size"][0], height=prep["size"][1],
                 num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
                 seed=args.seed, sampler=sampler,
+                seq_pad_multiple=args.seq_pad_multiple or None,
             )[0]
             result.save(os.path.join(full_dir, prep["img_name"]))
             crop_scene(result, prep["orig_h"], prep["strip_h"]).save(

@@ -99,7 +99,8 @@ class FillPipeline:
             return jnp.concatenate([img_tokens, mask_tokens], axis=-1)
 
         def denoise(flux_params, latents, cond, txt, pooled, sigmas, guidance,
-                    rope_cos, rope_sin, keys, sampler: str, overshoot_c: float):
+                    rope_cos, rope_sin, keys, sampler: str, overshoot_c: float,
+                    kv_len=None):
             b = latents.shape[0]
 
             def step(carry, xs):
@@ -113,6 +114,7 @@ class FillPipeline:
                     guidance,
                     rope_cos, rope_sin,
                     attn_impl=attn_impl,
+                    kv_len=kv_len,
                 )
                 if sampler == "overshoot":
                     lat = samplers.overshoot_step(lat, v, sigma, sigma_next, key, c=overshoot_c)
@@ -130,7 +132,8 @@ class FillPipeline:
 
         self._encode_text = jax.jit(encode_text, static_argnames=("dtype",))
         self._prepare_cond = jax.jit(prepare_cond)
-        self._denoise = jax.jit(denoise, static_argnames=("sampler", "overshoot_c"))
+        self._denoise = jax.jit(denoise,
+                                static_argnames=("sampler", "overshoot_c", "kv_len"))
         self._decode = jax.jit(decode, static_argnames=("lat_h", "lat_w"))
 
     # ------------------------------------------------------------------
@@ -163,6 +166,7 @@ class FillPipeline:
         dtype=jnp.bfloat16,
         text_embeds=None,
         output_type: str = "pil",
+        seq_pad_multiple: Optional[int] = None,
     ):
         """Run glyph-conditioned inpainting.
 
@@ -215,6 +219,20 @@ class FillPipeline:
         ).astype(dtype)
 
         ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], axis=0)
+
+        # optional sequence bucketing: pad image tokens to a multiple so the
+        # denoise program compiles once per bucket, with padded keys masked
+        kv_len = None
+        t_pad = t_img
+        if seq_pad_multiple:
+            t_pad = -(-t_img // seq_pad_multiple) * seq_pad_multiple
+            if t_pad != t_img:
+                pad = t_pad - t_img
+                latents = jnp.pad(latents, ((0, 0), (0, pad), (0, 0)))
+                cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
+                kv_len = t_txt + t_img
+
         cos, sin = rope_tables(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
 
         sigmas = samplers.make_schedule(
@@ -229,8 +247,10 @@ class FillPipeline:
             self.flux_params, latents, cond, txt, pooled,
             jnp.asarray(sigmas), guidance,
             jnp.asarray(cos), jnp.asarray(sin), step_keys,
-            sampler, float(cfgp.overshoot_c),
+            sampler, float(cfgp.overshoot_c), kv_len,
         )
+        if t_pad != t_img:
+            latents = latents[:, :t_img]
 
         if output_type == "latent":
             return latents
