@@ -35,7 +35,7 @@ from textflux_tpu.models.layers import (
     timestep_embedding,
 )
 from textflux_tpu.ops.attention import dot_product_attention
-from textflux_tpu.ops.rope import apply_rope
+from textflux_tpu.ops.rope import apply_rope_bshd
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +138,8 @@ def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_imp
     q = jnp.concatenate([tq, iq], axis=1)
     k = jnp.concatenate([tk, ik], axis=1)
     v = jnp.concatenate([tv, iv], axis=1)
-    q = apply_rope(q.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
-    k = apply_rope(k.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+    q = apply_rope_bshd(q, rope_cos, rope_sin)
+    k = apply_rope_bshd(k, rope_cos, rope_sin)
 
     out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
     out = out.reshape(out.shape[0], out.shape[1], -1)
@@ -167,8 +167,8 @@ def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_l
     q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
     q = rms_norm(q, p["q_scale"])
     k = rms_norm(k, p["k_scale"])
-    q = apply_rope(q.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
-    k = apply_rope(k.swapaxes(1, 2), rope_cos, rope_sin).swapaxes(1, 2)
+    q = apply_rope_bshd(q, rope_cos, rope_sin)
+    k = apply_rope_bshd(k, rope_cos, rope_sin)
 
     attn = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
     attn = attn.reshape(attn.shape[0], attn.shape[1], -1)

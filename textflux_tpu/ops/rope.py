@@ -62,3 +62,15 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
     out = xf * cos + rotated * sin
     return out.astype(orig_dtype)
+
+
+def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """apply_rope for (B, S, H, D) tensors without layout transposes —
+    tables broadcast over the heads axis directly (saves two HBM round trips
+    per q/k per block vs transposing to BHSD and back)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    pairs = xf.reshape(*x.shape[:-1], -1, 2)
+    rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
+    out = xf * cos[None, :, None, :] + rotated * sin[None, :, None, :]
+    return out.astype(orig_dtype)
