@@ -22,6 +22,7 @@ from PIL import Image
 from textflux_tpu.pipeline.prompts import build_prompts, read_words
 from textflux_tpu.rendering import (
     SINGLE_LINE_STRIP_RATIO,
+    draw_glyph_beta,
     concat_multiline,
     concat_singleline,
     crop_multiline_result,
@@ -74,7 +75,7 @@ def _stacked_strips(original: Image.Image, words: List[str], font) -> Image.Imag
     w, h = original.size
     strip_h = int(min(w // 6, h / max(len(words), 1)))
     strips = [
-        np.array(draw_glyph_flexible(font, t, w, strip_h).convert("RGB"))
+        np.array(draw_glyph_beta(font, t, w, strip_h).convert("RGB"))
         for t in words
     ]
     return Image.fromarray(np.vstack(strips))
@@ -90,8 +91,8 @@ def demo_custom_beta(pipe, original: Image.Image, drawn, words_text: str,
 
     if len(words) <= 1:
         w = original.size[0]
-        strip = draw_glyph_flexible(font, " ".join(words), w,
-                                    int(w * SINGLE_LINE_STRIP_RATIO))
+        strip = draw_glyph_beta(font, " ".join(words), w,
+                                int(w * SINGLE_LINE_STRIP_RATIO))
     else:
         strip = _stacked_strips(original, words, font)
     combined, combined_mask, strip_h = concat_singleline(original, mask, strip)

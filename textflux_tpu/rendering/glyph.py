@@ -97,6 +97,29 @@ def draw_glyph_strip(
     return img
 
 
+def draw_glyph_beta(
+    font, text: str, width: int, height: int, max_font_size: int = 140,
+) -> Image.Image:
+    """Beta-demo variant: dataset font caps (140 -> 180 > 1280px -> 280 > 2048px)
+    but no strip-height clamp (the caller fixes the height;
+    demo_beta.py:181-224)."""
+    img = Image.new("RGB", (width, height), "black")
+    if not text or not text.strip():
+        return img
+    if width > 2048:
+        max_font_size = 280
+    elif width > 1280:
+        max_font_size = 180
+    size = max(_fit_font_size(font, text, width, height, max_font_size), 10)
+    try:
+        final_font = font.font_variant(size=size)
+    except Exception:
+        final_font = font
+    ImageDraw.Draw(img).text((width / 2, height / 2), text, font=final_font,
+                             fill="white", anchor="mm")
+    return img
+
+
 def insert_spaces(text: str, num_spaces: int) -> str:
     if len(text) <= 1:
         return text
