@@ -39,3 +39,67 @@ def test_bf16(rng):
     out = flash_attention(q, k, v, block_q=128, block_k=128)
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
     assert err < 0.05
+
+
+def test_fused_norm_rope_matches_reference(rng):
+    """Fused kernel (permuted layout + rotate-half tables) must equal
+    rms_norm + interleaved rope + attention."""
+    import numpy as np
+    from textflux_tpu.models.layers import rms_norm
+    from textflux_tpu.ops import packing
+    from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
+    from textflux_tpu.ops.rope import (
+        apply_rope_bshd,
+        half_permutation,
+        rope_tables,
+        rope_tables_half,
+    )
+
+    b, h, d = 1, 2, 128
+    axes = (16, 56, 56)
+    t_txt = 8
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(16, 16)], 0)
+    s = len(ids)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    q_scale = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+    k_scale = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+
+    cos, sin = rope_tables(ids, axes)
+    qn = apply_rope_bshd(rms_norm(q, q_scale), jnp.asarray(cos), jnp.asarray(sin))
+    kn = apply_rope_bshd(rms_norm(k, k_scale), jnp.asarray(cos), jnp.asarray(sin))
+    ref = _xla_attention(qn, kn, v)
+
+    perm = half_permutation(d)
+    cos_h, sin_h = rope_tables_half(ids, axes)
+    out = flash_attention_qk_norm_rope(
+        q[..., perm], k[..., perm], v,
+        jnp.asarray(cos_h), jnp.asarray(sin_h),
+        q_scale[perm], k_scale[perm],
+        block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_kv_len(rng):
+    import numpy as np
+    from textflux_tpu.ops import packing
+    from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
+    from textflux_tpu.ops.rope import rope_tables_half
+
+    b, h, d, s, real = 1, 2, 64, 256, 200
+    axes = (16, 24, 24)
+    ids = packing.latent_image_ids(32, 32)[:s]
+    cos, sin = rope_tables_half(ids, axes)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    ones = jnp.ones((d,), jnp.float32)
+    full = flash_attention_qk_norm_rope(
+        q[:, :real], k[:, :real], v[:, :real],
+        jnp.asarray(cos[:real]), jnp.asarray(sin[:real]), ones, ones,
+        block_q=128, block_k=128)
+    padded = flash_attention_qk_norm_rope(
+        q, k, v, jnp.asarray(cos), jnp.asarray(sin), ones, ones,
+        kv_len=real, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(padded[:, :real]), np.asarray(full), atol=3e-5)

@@ -156,3 +156,34 @@ def test_kv_len_masking(rng):
                        jnp.asarray(cos_p), jnp.asarray(sin_p), attn_impl="xla",
                        kv_len=t_txt + t_img)
     np.testing.assert_allclose(np.asarray(out_p[:, :t_img]), np.asarray(base), atol=1e-5)
+
+
+def test_fused_attn_impl_matches_xla(rng):
+    """attn_impl='fused' (permuted weights + rotate-half tables + fused kernel)
+    must match the standard path."""
+    from textflux_tpu.models.transformer import half_permute_flux_params
+    from textflux_tpu.ops.rope import rope_tables_half
+
+    cfg = FluxConfig(
+        in_channels=12, out_channels=4, num_double_layers=2, num_single_layers=2,
+        num_heads=2, head_dim=128, joint_dim=32, pooled_dim=16, guidance_embeds=True,
+        axes_dims_rope=(16, 56, 56), time_embed_channels=256,
+    )
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    t_txt, lat = 8, 16
+    t_img = (lat // 2) ** 2
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat, lat)], axis=0)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+    args = (txt, pooled, jnp.array([0.5]), jnp.array([4.0]))
+
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope)
+    ref = flux_apply(params, cfg, img, *args[:1], *args[1:],
+                     jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+
+    cos_h, sin_h = rope_tables_half(ids, cfg.axes_dims_rope)
+    fused_params = half_permute_flux_params(params, cfg)
+    out = flux_apply(fused_params, cfg, img, *args[:1], *args[1:],
+                     jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)

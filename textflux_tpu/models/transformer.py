@@ -127,21 +127,40 @@ def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_imp
     iq, ik, iv = jnp.split(dense(p["img_qkv"], img_n), 3, axis=-1)
     tq, tk, tv = jnp.split(dense(p["txt_qkv"], txt_n), 3, axis=-1)
     h = cfg.num_heads
-    iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
-    tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
-    iq = rms_norm(iq, p["img_q_scale"])
-    ik = rms_norm(ik, p["img_k_scale"])
-    tq = rms_norm(tq, p["txt_q_scale"])
-    tk = rms_norm(tk, p["txt_k_scale"])
 
-    # text tokens prepended (attention_processor.py:2029-2035)
-    q = jnp.concatenate([tq, iq], axis=1)
-    k = jnp.concatenate([tk, ik], axis=1)
-    v = jnp.concatenate([tv, iv], axis=1)
-    q = apply_rope_bshd(q, rope_cos, rope_sin)
-    k = apply_rope_bshd(k, rope_cos, rope_sin)
+    if attn_impl == "fused":
+        # raw q/k: RMSNorm + rotate-half RoPE fuse into the attention kernel
+        # (params must be in half-permuted layout, tables rotate-half)
+        from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
 
-    out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+        q = _heads(jnp.concatenate([tq, iq], axis=1), h)
+        k = _heads(jnp.concatenate([tk, ik], axis=1), h)
+        v = _heads(jnp.concatenate([tv, iv], axis=1), h)
+        n_img = q.shape[1] - n_txt
+        qs = jnp.concatenate([
+            jnp.broadcast_to(p["txt_q_scale"][None], (n_txt, cfg.head_dim)),
+            jnp.broadcast_to(p["img_q_scale"][None], (n_img, cfg.head_dim))])
+        ks = jnp.concatenate([
+            jnp.broadcast_to(p["txt_k_scale"][None], (n_txt, cfg.head_dim)),
+            jnp.broadcast_to(p["img_k_scale"][None], (n_img, cfg.head_dim))])
+        out = flash_attention_qk_norm_rope(q, k, v, rope_cos, rope_sin, qs, ks,
+                                           kv_len=kv_len)
+    else:
+        iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
+        tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
+        iq = rms_norm(iq, p["img_q_scale"])
+        ik = rms_norm(ik, p["img_k_scale"])
+        tq = rms_norm(tq, p["txt_q_scale"])
+        tk = rms_norm(tk, p["txt_k_scale"])
+
+        # text tokens prepended (attention_processor.py:2029-2035)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        q = apply_rope_bshd(q, rope_cos, rope_sin)
+        k = apply_rope_bshd(k, rope_cos, rope_sin)
+        out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+
     out = out.reshape(out.shape[0], out.shape[1], -1)
     txt_attn, img_attn = out[:, :n_txt], out[:, n_txt:]
 
@@ -165,12 +184,17 @@ def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_l
     fused = dense(p["linear1"], x_n)
     q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
     q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
-    q = rms_norm(q, p["q_scale"])
-    k = rms_norm(k, p["k_scale"])
-    q = apply_rope_bshd(q, rope_cos, rope_sin)
-    k = apply_rope_bshd(k, rope_cos, rope_sin)
+    if attn_impl == "fused":
+        from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
 
-    attn = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+        attn = flash_attention_qk_norm_rope(
+            q, k, v, rope_cos, rope_sin, p["q_scale"], p["k_scale"], kv_len=kv_len)
+    else:
+        q = rms_norm(q, p["q_scale"])
+        k = rms_norm(k, p["k_scale"])
+        q = apply_rope_bshd(q, rope_cos, rope_sin)
+        k = apply_rope_bshd(k, rope_cos, rope_sin)
+        attn = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
     attn = attn.reshape(attn.shape[0], attn.shape[1], -1)
 
     out = dense(p["linear2"], jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1))
@@ -246,3 +270,42 @@ def flux_apply(
 
 def flux_param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+def half_permute_flux_params(params, cfg: FluxConfig):
+    """Permute q/k feature columns into the rotate-half layout required by the
+    fused attention kernel (attn_impl="fused").
+
+    The permutation is a similarity transform on the attention logits (q and k
+    permuted identically), so outputs are unchanged; it folds the interleaved
+    RoPE pairing into the weights once at load time. v and all other params
+    are untouched.
+    """
+    import numpy as np
+
+    from textflux_tpu.ops.rope import half_permutation
+
+    perm = half_permutation(cfg.head_dim)
+    d = cfg.hidden_dim
+    per_head = np.concatenate(
+        [h * cfg.head_dim + perm for h in range(cfg.num_heads)])
+
+    def permute_qkv(p, extra_cols: int = 0):
+        idx = np.concatenate([per_head, d + per_head,
+                              2 * d + np.arange(d + extra_cols)])
+        return {"w": p["w"][..., idx], "b": p["b"][..., idx]}
+
+    out = dict(params)
+    dbl = dict(params["double"])
+    dbl["img_qkv"] = permute_qkv(params["double"]["img_qkv"])
+    dbl["txt_qkv"] = permute_qkv(params["double"]["txt_qkv"])
+    for name in ("img_q_scale", "img_k_scale", "txt_q_scale", "txt_k_scale"):
+        dbl[name] = params["double"][name][..., perm]
+    out["double"] = dbl
+
+    sng = dict(params["single"])
+    sng["linear1"] = permute_qkv(params["single"]["linear1"], extra_cols=cfg.mlp_dim)
+    for name in ("q_scale", "k_scale"):
+        sng[name] = params["single"][name][..., perm]
+    out["single"] = sng
+    return out

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -62,6 +63,34 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
     out = xf * cos + rotated * sin
     return out.astype(orig_dtype)
+
+
+def rope_tables_half(
+    ids: np.ndarray,
+    axes_dims: Sequence[int],
+    theta: int = 10000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rotate-half-layout RoPE tables for the fused attention kernel.
+
+    With head features permuted evens-first (see ``half_permutation``), the
+    interleaved rotation becomes a rotate-half rotation whose tables are the
+    per-axis unique frequencies concatenated (D/2 columns) and tiled twice.
+    """
+    ids = np.asarray(ids, dtype=np.float64)
+    parts = []
+    for axis, dim in enumerate(axes_dims):
+        freqs = 1.0 / (theta ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+        parts.append(np.outer(ids[:, axis], freqs))          # (S, dim/2)
+    angles = np.concatenate(parts, axis=-1)                  # (S, D/2)
+    cos = np.tile(np.cos(angles), (1, 2)).astype(np.float32)  # (S, D)
+    sin = np.tile(np.sin(angles), (1, 2)).astype(np.float32)
+    return cos, sin
+
+
+def half_permutation(head_dim: int) -> np.ndarray:
+    """Feature permutation mapping interleaved rope pairs (2j, 2j+1) to
+    rotate-half positions (j, j + D/2): evens first, then odds."""
+    return np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
 
 
 def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
