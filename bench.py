@@ -43,7 +43,7 @@ def bench_transformer_step(depths, t_img, t_txt, attn_impl="pallas"):
     from textflux_tpu.config import FluxConfig
     from textflux_tpu.models.transformer import flux_apply, init_flux_params
     from textflux_tpu.ops import packing, samplers
-    from textflux_tpu.ops.rope import rope_tables
+    from textflux_tpu.ops.rope import rope_tables, rope_tables_half
     from textflux_tpu.utils.benchmarking import time_step
 
     lat_h, lat_w = HEIGHT // 8, WIDTH // 8
@@ -57,7 +57,8 @@ def bench_transformer_step(depths, t_img, t_txt, attn_impl="pallas"):
             lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16)
             if sd.dtype == jnp.float32 and sd.ndim >= 2 else sd, shapes)
         params = zeros_like_tree(shapes)
-        cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+        table_fn = rope_tables_half if attn_impl == "fused" else rope_tables
+        cos, sin = table_fn(ids, cfg.axes_dims_rope, cfg.rope_theta)
         cos, sin = jnp.asarray(cos), jnp.asarray(sin)
         cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
         txt = jnp.zeros((1, t_txt, cfg.joint_dim), jnp.bfloat16)
@@ -162,7 +163,7 @@ def main():
     lat_h, lat_w = HEIGHT // 8, WIDTH // 8
     t_img = (lat_h // 2) * (lat_w // 2)
 
-    attn = "pallas" if backend == "tpu" else "xla"
+    attn = "fused" if backend == "tpu" else "xla"
     depths = [(2, 8), (6, 4)]  # linearly independent in (D, S)
     times = bench_transformer_step(depths, t_img, T_TXT, attn_impl=attn)
 
@@ -199,7 +200,7 @@ def main():
             "measured_depths": {f"{k}": round(v, 5) for k, v in times.items()},
             "joint_seq_len": t_img + T_TXT,
         },
-        "note": "full-width DiT step extrapolated from 2 measured depths (scan-stacked blocks); weights zeros-initialized (timing-equivalent)",
+        "note": "full-width DiT step (fused norm+rope+flash attention kernel) extrapolated from 2 measured depths (exact under lax.scan); weights zeros-initialized (timing-equivalent)",
     }
     print(json.dumps(result))
 

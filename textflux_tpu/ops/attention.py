@@ -7,6 +7,7 @@ TPU-friendly layout that keeps head_dim on the 128-lane axis.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -48,7 +49,28 @@ def dot_product_attention(
     if impl == "auto":
         impl = "pallas" if q.shape[1] >= 512 and jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        from textflux_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, kv_len=kv_len)
+        return _flash_differentiable(q, k, v, kv_len)
     return _xla_attention(q, k, v, kv_len=kv_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_differentiable(q, k, v, kv_len):
+    """Pallas flash forward with an XLA-recompute backward (the kernel has no
+    native VJP yet): grads are exact for the attention function, activations
+    rematerialize per call — fine under per-block remat."""
+    from textflux_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, kv_len=kv_len)
+
+
+def _flash_fwd(q, k, v, kv_len):
+    return _flash_differentiable(q, k, v, kv_len), (q, k, v)
+
+
+def _flash_bwd(kv_len, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=kv_len), q, k, v)
+    return vjp(g)
+
+
+_flash_differentiable.defvjp(_flash_fwd, _flash_bwd)

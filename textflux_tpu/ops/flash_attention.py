@@ -151,8 +151,9 @@ def _norm_rope(x, scale_row, cos, sin, eps: float):
 def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                   qs_ref, ks_ref, o_ref, *, block_k: int, kv_len: int,
                   scale: float, eps: float):
-    bq, d = q_ref.shape[1], q_ref.shape[3]
-    q = _norm_rope(q_ref[0, :, 0, :].astype(jnp.float32), qs_ref[:],
+    # refs view the (B, S, H*D) layout with a 128-wide head column slice
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    q = _norm_rope(q_ref[0].astype(jnp.float32), qs_ref[:],
                    cq_ref[:], sq_ref[:], eps) * scale
     q = q.astype(v_ref.dtype)
 
@@ -166,13 +167,13 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     def body(i, carry):
         m, l, acc = carry
         kb = _norm_rope(
-            k_ref[0, pl.ds(i * block_k, block_k), 0, :].astype(jnp.float32),
+            k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
             ks_ref[pl.ds(i * block_k, block_k), :],
             ck_ref[pl.ds(i * block_k, block_k), :],
             sk_ref[pl.ds(i * block_k, block_k), :],
             eps,
         ).astype(v_ref.dtype)
-        vb = v_ref[0, pl.ds(i * block_k, block_k), 0, :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -189,7 +190,7 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         return m_new, l, acc
 
     m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0, :, 0, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
@@ -237,9 +238,10 @@ def flash_attention_qk_norm_rope(
     block_k = min(block_k, max(128, -(-s // 128) * 128))
 
     blk = max(block_q, block_k)
-    qp = _pad_to(q, 1, blk)
-    kp = _pad_to(k, 1, blk)
-    vp = _pad_to(v, 1, blk)
+    # (B, S, H, D) -> (B, Sp, H*D): free reshape; heads become 128-col slices
+    qp = _pad_to(q.reshape(b, s, h * d), 1, blk)
+    kp = _pad_to(k.reshape(b, s, h * d), 1, blk)
+    vp = _pad_to(v.reshape(b, s, h * d), 1, blk)
     cosp = _pad_to(cos.astype(jnp.float32), 0, blk)
     sinp = _pad_to(sin.astype(jnp.float32), 0, blk)
     qsp = _pad_to(q_scale.astype(jnp.float32), 0, blk)
@@ -252,11 +254,11 @@ def flash_attention_qk_norm_rope(
         kernel,
         grid=(b, h, sp // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda ib, ih, iq: (ib, iq, ih, 0),
+            pl.BlockSpec((1, block_q, d), lambda ib, ih, iq: (ib, iq, ih),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, 1, d), lambda ib, ih, iq: (ib, 0, ih, 0),
+            pl.BlockSpec((1, sp, d), lambda ib, ih, iq: (ib, 0, ih),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, 1, d), lambda ib, ih, iq: (ib, 0, ih, 0),
+            pl.BlockSpec((1, sp, d), lambda ib, ih, iq: (ib, 0, ih),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, d), lambda ib, ih, iq: (iq, 0),
                          memory_space=pltpu.VMEM),
@@ -271,7 +273,7 @@ def flash_attention_qk_norm_rope(
             pl.BlockSpec((sp, d), lambda ib, ih, iq: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda ib, ih, iq: (ib, iq, ih, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, ih, iq: (ib, iq, ih),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -285,4 +287,4 @@ def flash_attention_qk_norm_rope(
         interpret=interpret,
     )(qp, kp, vp, cosp, sinp, cosp, sinp, qsp, ksp)
 
-    return out[:, :s]
+    return out[:, :s].reshape(b, s, h, d)

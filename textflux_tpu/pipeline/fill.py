@@ -73,8 +73,21 @@ class FillPipeline:
         self.clip_tokenize = clip_tokenize
         self.t5_tokenize = t5_tokenize
         self.pipe_cfg = pipe_cfg
+        if attn_impl == "auto":
+            attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
         self.attn_impl = attn_impl
+        if attn_impl == "fused":
+            # fold the rotate-half permutation into the q/k weight columns once
+            from textflux_tpu.models.transformer import half_permute_flux_params
+
+            self.flux_params = half_permute_flux_params(self.flux_params, flux_cfg)
         self._build_jits()
+
+    def _rope_tables(self, ids):
+        from textflux_tpu.ops.rope import rope_tables, rope_tables_half
+
+        fn = rope_tables_half if self.attn_impl == "fused" else rope_tables
+        return fn(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
 
     # ------------------------------------------------------------------
     # jitted stages
@@ -233,7 +246,7 @@ class FillPipeline:
                 ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
                 kv_len = t_txt + t_img
 
-        cos, sin = rope_tables(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
+        cos, sin = self._rope_tables(ids)
 
         sigmas = samplers.make_schedule(
             steps, t_img,
@@ -346,7 +359,7 @@ class FillPipeline:
 
         ids = np.concatenate(
             [packing.text_ids(txt.shape[1]), packing.latent_image_ids(lat_h, lat_w)], axis=0)
-        cos, sin = rope_tables(ids, self.flux_cfg.axes_dims_rope, self.flux_cfg.rope_theta)
+        cos, sin = self._rope_tables(ids)
         sigmas = samplers.make_schedule(
             steps, t_img, base_seq_len=cfgp.base_image_seq_len,
             max_seq_len=cfgp.max_image_seq_len,
