@@ -103,3 +103,27 @@ def test_fused_kv_len(rng):
         q, k, v, jnp.asarray(cos), jnp.asarray(sin), ones, ones,
         kv_len=real, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(padded[:, :real]), np.asarray(full), atol=3e-5)
+
+
+def test_pallas_gradients_match_xla(rng):
+    """custom_vjp wrapper: grads through the pallas path == grads through XLA."""
+    import numpy as np
+    from textflux_tpu.ops.attention import dot_product_attention
+
+    b, s, h, d = 1, 160, 2, 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    import jax
+
+    def loss(impl):
+        def f(q, k, v):
+            out = dot_product_attention(q, k, v, impl=impl)
+            return jnp.sum(out ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_ref = loss("xla")
+    g_pal = loss("pallas")
+    for a, b_ in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
