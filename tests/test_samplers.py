@@ -142,3 +142,26 @@ def test_loss_weighting(torch_oracle, scheme):
     ref = compute_loss_weighting_for_sd3(scheme, torch.from_numpy(sig)).numpy()
     ours = np.asarray(samplers.loss_weighting(scheme, jnp.asarray(sig)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_overshoot_spatial_reduces_to_scalar():
+    """A constant c_map must equal the scalar overshoot step."""
+    rng_l = np.random.default_rng(3)
+    x = jnp.asarray(rng_l.standard_normal((2, 8, 4)), jnp.float32)
+    v = jnp.asarray(rng_l.standard_normal((2, 8, 4)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    a = samplers.overshoot_step(x, v, 0.6, 0.5, key, c=2.0)
+    b = samplers.overshoot_step_spatial(x, v, 0.6, 0.5, key, jnp.full((2, 8), 2.0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_overshoot_spatial_zero_map_is_plain_noise_step():
+    """c_map = 0 -> overshoot to t_next exactly (a=1 path with re-noising)."""
+    rng_l = np.random.default_rng(4)
+    x = jnp.asarray(rng_l.standard_normal((1, 4, 4)), jnp.float32)
+    v = jnp.asarray(rng_l.standard_normal((1, 4, 4)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    out = samplers.overshoot_step_spatial(x, v, 0.6, 0.5, key, jnp.zeros((1, 4)))
+    # with c=0: t_over = t_next, a=1, b=0 => plain euler step
+    ref = samplers.euler_step(x, v, 0.6, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

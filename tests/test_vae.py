@@ -100,3 +100,23 @@ def test_roundtrip_shapes():
     assert z.shape == (1, 16, 16, cfg.latent_channels)
     out = V.vae_decode(params, cfg, z)
     assert out.shape == (1, 32, 32, 3)
+
+
+def test_tiled_decode_matches_full(oracle_vae, rng):
+    params = _params(oracle_vae)
+    lat = jnp.asarray(rng.standard_normal((1, 24, 20, TINY.latent_channels)), jnp.float32)
+    full = V.vae_decode(params, TINY, lat)
+    tiled = V.vae_decode_tiled(params, TINY, lat, tile=12, overlap=4)
+    assert tiled.shape == full.shape
+    # interior matches well; seams blend (GroupNorm stats differ per tile)
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(err) < 0.15
+    assert np.isfinite(np.asarray(tiled)).all()
+
+
+def test_tiled_decode_small_passthrough(oracle_vae, rng):
+    params = _params(oracle_vae)
+    lat = jnp.asarray(rng.standard_normal((1, 8, 8, TINY.latent_channels)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(V.vae_decode_tiled(params, TINY, lat, tile=16)),
+        np.asarray(V.vae_decode(params, TINY, lat)))

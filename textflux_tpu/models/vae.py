@@ -197,6 +197,50 @@ def vae_encode(
     return z
 
 
+def vae_decode_tiled(
+    params, cfg: VAEConfig, latents: jnp.ndarray, *,
+    tile: int = 64, overlap: int = 16, scale: bool = True,
+) -> jnp.ndarray:
+    """Tiled decode for large canvases (reference: enable_vae_tiling,
+    pipeline_flux_fill.py:1767-1794): decode overlapping latent tiles and
+    linearly blend the seams. Bounds decoder activation memory at ~tile^2."""
+    b, h, w, c = latents.shape
+    if h <= tile and w <= tile:
+        return vae_decode(params, cfg, latents, scale=scale)
+    f = cfg.spatial_factor
+    stride = tile - overlap
+    out = jnp.zeros((b, h * f, w * f, cfg.out_channels), jnp.float32)
+    weight = jnp.zeros((h * f, w * f, 1), jnp.float32)
+
+    ramp = jnp.minimum(jnp.arange(tile * f, dtype=jnp.float32) / (overlap * f), 1.0)
+    win1d = jnp.minimum(ramp, ramp[::-1])
+    win = jnp.minimum(win1d[:, None], win1d[None, :])[..., None]
+
+    ys = list(range(0, max(h - tile, 0) + 1, stride)) or [0]
+    xs = list(range(0, max(w - tile, 0) + 1, stride)) or [0]
+    if ys[-1] + tile < h:
+        ys.append(h - tile)
+    if xs[-1] + tile < w:
+        xs.append(w - tile)
+    for y in ys:
+        for x in xs:
+            tile_lat = jax.lax.dynamic_slice(
+                latents, (0, y, x, 0), (b, min(tile, h), min(tile, w), c))
+            dec = vae_decode(params, cfg, tile_lat, scale=scale).astype(jnp.float32)
+            wy, wx = dec.shape[1], dec.shape[2]
+            tile_win = win[:wy, :wx]
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (0, y * f, x * f, 0),
+                                           (b, wy, wx, cfg.out_channels))
+                + dec * tile_win,
+                (0, y * f, x * f, 0))
+            weight = jax.lax.dynamic_update_slice(
+                weight, jax.lax.dynamic_slice(weight, (y * f, x * f, 0), (wy, wx, 1))
+                + tile_win,
+                (y * f, x * f, 0))
+    return (out / jnp.maximum(weight, 1e-6)).astype(latents.dtype)
+
+
 def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray, *, scale: bool = True) -> jnp.ndarray:
     """Decode (scaled) latents to NHWC images in [-1, 1]."""
     g = cfg.norm_num_groups

@@ -100,6 +100,35 @@ def overshoot_step(
     return out.astype(x.dtype)
 
 
+def overshoot_step_spatial(
+    x: jnp.ndarray,
+    v: jnp.ndarray,
+    sigma: jnp.ndarray,
+    sigma_next: jnp.ndarray,
+    key: jax.Array,
+    c_map: jnp.ndarray,
+) -> jnp.ndarray:
+    """Spatially-varying AMO overshoot: per-token overshoot strength.
+
+    Implements the reference scheduler's dormant attention-map branch
+    (scheduling_stochastic_rf_discrete_overshot.py:316-338) in packed token
+    space: c_map (B, T) weights the overshoot per token (e.g. stronger inside
+    the text-edit region). c_map == c everywhere reduces to overshoot_step.
+    """
+    xf = x.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    t = 1.0 - sigma
+    step = sigma - sigma_next
+    t_next = jnp.minimum(t + step, 1.0)
+    dt_over = step * c_map.astype(jnp.float32)[..., None]
+    t_over = jnp.minimum(t_next + dt_over, 1.0)
+    x_over = xf + (t_over - t) * (-vf)
+    a = t_next / t_over
+    b = jnp.sqrt(jnp.maximum((1.0 - t_next) ** 2 - (a - t_next) ** 2, 0.0))
+    noise = jax.random.normal(key, x.shape, dtype=jnp.float32)
+    return (a * x_over + b * noise).astype(x.dtype)
+
+
 def scale_noise(x: jnp.ndarray, sigma: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
     """Flow-matching forward process: x_sigma = (1 - sigma) * x + sigma * noise."""
     return (1.0 - sigma) * x + sigma * noise

@@ -131,6 +131,12 @@ class FillPipeline:
                 )
                 if sampler == "overshoot":
                     lat = samplers.overshoot_step(lat, v, sigma, sigma_next, key, c=overshoot_c)
+                elif sampler == "overshoot_spatial":
+                    # per-token overshoot weighted by mask occupancy (the packed
+                    # mask is the tail of the cond features)
+                    c_map = overshoot_c * jnp.mean(
+                        cond[..., vae_cfg.latent_channels * 4:].astype(jnp.float32), -1)
+                    lat = samplers.overshoot_step_spatial(lat, v, sigma, sigma_next, key, c_map)
                 else:
                     lat = samplers.euler_step(lat, v, sigma, sigma_next)
                 return lat, None
