@@ -1,12 +1,13 @@
-"""Headline benchmark: estimated seconds/image for TextFlux-beta-style
-single-line 512px inference (30 denoise steps, 592x512 concat canvas).
+"""Headline benchmark: seconds/image for TextFlux-beta-style single-line 512px
+inference (30 denoise steps, 592x512 concat canvas) on one TPU chip.
 
-The full 12B FLUX DiT does not fit one v5e chip in bf16, so the transformer
-step time is measured at full width (3072 hidden, 24 heads, real 1696-token
-joint sequence) at two depths and extrapolated linearly to 19 double + 38
-single blocks: t(D, S) = D*t_double + S*t_single (per-block cost is exact under
-lax.scan). VAE encode+decode and text encoders are measured directly. All
-timing uses the slope method (tunnel-safe; see textflux_tpu.utils.benchmarking).
+Primary path: the FULL 19+38-block DiT in weight-only int8 (11.1 GiB — the
+single-chip serving configuration) measured directly, plus VAE encode+decode
+and text encoders. Fallback (OOM / non-TPU): full-width reduced-depth bf16
+models extrapolated linearly over depth (exact under lax.scan).
+
+All timing uses the slope method (tunnel-safe; see
+textflux_tpu.utils.benchmarking — block_until_ready resolves early here).
 
 Baseline: TextFlux-beta 10.9 s/img (reference README.md:82, hardware unstated).
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
@@ -14,7 +15,6 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
 
 import gc
 import json
-import sys
 
 import numpy as np
 
@@ -27,61 +27,102 @@ T_TXT = 512
 
 
 def zeros_like_tree(tree_shape):
+    import jax.numpy as jnp
+    import jax
+
+    return jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), tree_shape)
+
+
+def _zero_params(cfg, quantize: bool):
+    """Timing-equivalent zero weights in bf16 or weight-only int8 layout."""
     import jax
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        lambda sd: jnp.zeros(sd.shape, sd.dtype), tree_shape)
+    from textflux_tpu.models.transformer import init_flux_params
+
+    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+
+    def build(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 \
+                    and (quantize and v["w"].size >= (1 << 16)):
+                q = {"w_q": jnp.zeros(v["w"].shape, jnp.int8),
+                     "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],),
+                                       1e-2, jnp.float32)}
+                if "b" in v:
+                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
+                out[k] = q
+            elif isinstance(v, dict):
+                out[k] = build(v)
+            else:
+                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
+        return out
+
+    return build(shapes)
 
 
-def bench_transformer_step(depths, t_img, t_txt, attn_impl="pallas"):
-    """Measure the full sampling step (DiT fwd + Euler) at given depths.
-    Returns dict depth -> seconds."""
+def _bench_step(cfg, params, t_img, t_txt, attn_impl):
     import jax
     import jax.numpy as jnp
 
-    from textflux_tpu.config import FluxConfig
-    from textflux_tpu.models.transformer import flux_apply, init_flux_params
+    from textflux_tpu.models.transformer import flux_apply
     from textflux_tpu.ops import packing, samplers
     from textflux_tpu.ops.rope import rope_tables, rope_tables_half
     from textflux_tpu.utils.benchmarking import time_step
 
     lat_h, lat_w = HEIGHT // 8, WIDTH // 8
     ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], 0)
+    table_fn = rope_tables_half if attn_impl == "fused" else rope_tables
+    cos, sin = table_fn(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
+    txt = jnp.zeros((1, t_txt, cfg.joint_dim), jnp.bfloat16)
+    pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
+    guidance = jnp.full((1,), 30.0, jnp.float32)
 
+    # params/cond/etc. must be jit ARGUMENTS: closed-over arrays lower as
+    # captured constants, which the tunneled backend re-ships per compile
+    def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
+        v = flux_apply(params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
+                       jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
+                       attn_impl=attn_impl)
+        return samplers.euler_step(lat, v, 0.5, 0.45)
+
+    jitted = jax.jit(step_fn)
+    lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
+    return time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
+                     lat0, iters_hi=8, iters_lo=2, repeats=2)
+
+
+def bench_transformer_full_int8(t_img, t_txt, attn_impl):
+    from textflux_tpu.config import FluxConfig
+
+    cfg = FluxConfig()
+    params = _zero_params(cfg, quantize=True)
+    t = _bench_step(cfg, params, t_img, t_txt, attn_impl)
+    del params
+    gc.collect()
+    return t
+
+
+def bench_transformer_extrapolated(t_img, t_txt, attn_impl):
+    from textflux_tpu.config import FluxConfig
+
+    depths = [(2, 8), (6, 4)]  # linearly independent in (D, S)
     times = {}
     for nd, ns in depths:
         cfg = FluxConfig(num_double_layers=nd, num_single_layers=ns)
-        shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-        shapes = jax.tree.map(
-            lambda sd: jax.ShapeDtypeStruct(sd.shape, jnp.bfloat16)
-            if sd.dtype == jnp.float32 and sd.ndim >= 2 else sd, shapes)
-        params = zeros_like_tree(shapes)
-        table_fn = rope_tables_half if attn_impl == "fused" else rope_tables
-        cos, sin = table_fn(ids, cfg.axes_dims_rope, cfg.rope_theta)
-        cos, sin = jnp.asarray(cos), jnp.asarray(sin)
-        cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
-        txt = jnp.zeros((1, t_txt, cfg.joint_dim), jnp.bfloat16)
-        pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
-        guidance = jnp.full((1,), 30.0, jnp.float32)
-
-        # params/cond/etc. must be jit ARGUMENTS: closed-over arrays lower as
-        # captured constants, which the tunneled backend re-ships per compile
-        def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
-            v = flux_apply(
-                params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
-                jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
-                attn_impl=attn_impl)
-            return samplers.euler_step(lat, v, 0.5, 0.45)
-
-        jitted = jax.jit(step_fn)
-        lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
-        times[(nd, ns)] = time_step(
-            lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
-            lat0, iters_hi=8, iters_lo=2, repeats=2)
+        params = _zero_params(cfg, quantize=False)
+        times[(nd, ns)] = _bench_step(cfg, params, t_img, t_txt, attn_impl)
         del params
         gc.collect()
-    return times
+    (d1, s1), (d2, s2) = depths
+    t1, t2 = times[(d1, s1)], times[(d2, s2)]
+    det = d1 * s2 - d2 * s1
+    td = (t1 * s2 - t2 * s1) / det
+    ts = (d1 * t2 - d2 * t1) / det
+    return 19 * td + 38 * ts, times
 
 
 def bench_vae_roundtrip():
@@ -162,28 +203,21 @@ def main():
     backend = jax.default_backend()
     lat_h, lat_w = HEIGHT // 8, WIDTH // 8
     t_img = (lat_h // 2) * (lat_w // 2)
-
     attn = "fused" if backend == "tpu" else "xla"
-    depths = [(2, 8), (6, 4)]  # linearly independent in (D, S)
-    times = bench_transformer_step(depths, t_img, T_TXT, attn_impl=attn)
 
-    # t(D,S) = D*td + S*ts  (ratio S=2D in both configs keeps this well-posed
-    # only with the base overhead folded in; solve exactly from the two points)
-    (d1, s1), (d2, s2) = depths
-    t1, t2 = times[(d1, s1)], times[(d2, s2)]
-    det = d1 * s2 - d2 * s1
-    if det != 0:
-        td = (t1 * s2 - t2 * s1) / det
-        ts = (d1 * t2 - d2 * t1) / det
-    else:  # same ratio: split by per-block param cost (double ~ 2.4x single)
-        slope = (t2 - t1) / ((d2 - d1) + (s2 - s1))
-        td, ts = 2.4 * slope, slope
-    t_step_full = 19 * td + 38 * ts
+    mode = "full_int8_direct"
+    extra = {}
+    try:
+        t_step = bench_transformer_full_int8(t_img, T_TXT, attn)
+    except Exception as e:  # OOM or non-TPU: fall back to depth extrapolation
+        mode = f"bf16_depth_extrapolated ({type(e).__name__})"
+        t_step, times = bench_transformer_extrapolated(t_img, T_TXT, attn)
+        extra["measured_depths"] = {f"{k}": round(v, 5) for k, v in times.items()}
 
     t_vae = bench_vae_roundtrip()
     t_t5, t_clip = bench_text_encoders()
 
-    s_per_img = STEPS * t_step_full + t_vae + t_t5 + t_clip
+    s_per_img = STEPS * t_step + t_vae + t_t5 + t_clip
     result = {
         "metric": "s_per_img_512px_singleline_30steps",
         "value": round(s_per_img, 4),
@@ -191,16 +225,15 @@ def main():
         "vs_baseline": round(BASELINE_S_PER_IMG / s_per_img, 2),
         "backend": backend,
         "breakdown": {
-            "transformer_step_full_s": round(t_step_full, 5),
-            "t_double_block_s": round(td, 6),
-            "t_single_block_s": round(ts, 6),
+            "mode": mode,
+            "transformer_step_s": round(t_step, 5),
             "vae_roundtrip_s": round(t_vae, 5),
             "t5_xxl_512tok_s": round(t_t5, 5),
             "clip_s": round(t_clip, 5),
-            "measured_depths": {f"{k}": round(v, 5) for k, v in times.items()},
             "joint_seq_len": t_img + T_TXT,
+            **extra,
         },
-        "note": "full-width DiT step (fused norm+rope+flash attention kernel) extrapolated from 2 measured depths (exact under lax.scan); weights zeros-initialized (timing-equivalent)",
+        "note": "full 19+38 DiT, weight-only int8 (11.1GiB, single-chip serving config), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent)",
     }
     print(json.dumps(result))
 

@@ -1,0 +1,70 @@
+"""Weight-only int8 quantization: error bounds + full-model output sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.helpers import FLUX_TINY
+from textflux_tpu.io.quantize import (
+    dequantize_dense,
+    quantize_dense,
+    quantize_tree,
+    quantized_bytes,
+)
+from textflux_tpu.models.layers import dense
+from textflux_tpu.models.transformer import flux_apply, init_flux_params
+from textflux_tpu.ops import packing
+from textflux_tpu.ops.rope import rope_tables
+
+
+def test_quantize_roundtrip_error(rng):
+    p = {"w": jnp.asarray(rng.standard_normal((64, 32)), jnp.float32),
+         "b": jnp.zeros((32,))}
+    q = quantize_dense(p)
+    assert q["w_q"].dtype == jnp.int8
+    back = dequantize_dense(q, jnp.float32)
+    rel = np.abs(np.asarray(back["w"]) - np.asarray(p["w"])).max() / np.abs(np.asarray(p["w"])).max()
+    assert rel < 0.01  # <1% of max per column
+
+
+def test_dense_quantized_matches(rng):
+    p = {"w": jnp.asarray(rng.standard_normal((48, 96)), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(96), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((4, 48)), jnp.float32)
+    ref = dense(p, x)
+    out = dense(quantize_dense(p), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.25, rtol=0.1)
+
+
+def test_stacked_dense_quantized(rng):
+    p = {"w": jnp.asarray(rng.standard_normal((3, 16, 32)), jnp.float32),
+         "b": jnp.zeros((3, 32))}
+    q = quantize_dense(p)
+    assert q["scale"].shape == (3, 32)
+    x = jnp.asarray(rng.standard_normal((3, 5, 16)), jnp.float32)
+    ref = jnp.einsum("lbi,lio->lbo", x, p["w"])
+    out = jnp.einsum("lbi,lio->lbo", x, q["w_q"].astype(jnp.float32) * q["scale"][:, None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.25, rtol=0.1)
+
+
+def test_full_model_quantized_output_close(rng):
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    qparams = quantize_tree(params, min_size=0)
+    assert quantized_bytes(qparams) < 0.6 * quantized_bytes(params)
+
+    t_txt, t_img = 4, 16
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(8, 8)], 0)
+    cos, sin = rope_tables(ids, FLUX_TINY.axes_dims_rope)
+    args = (
+        jnp.asarray(rng.standard_normal((1, t_img, FLUX_TINY.in_channels)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, t_txt, FLUX_TINY.joint_dim)), jnp.float32),
+        jnp.asarray(rng.standard_normal((1, FLUX_TINY.pooled_dim)), jnp.float32),
+        jnp.array([0.5]), jnp.array([4.0]),
+        jnp.asarray(cos), jnp.asarray(sin),
+    )
+    ref = flux_apply(params, FLUX_TINY, *args, attn_impl="xla")
+    out = flux_apply(qparams, FLUX_TINY, *args, attn_impl="xla")
+    # int8 weight quantization noise, should stay well-correlated
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err.mean() < 0.05 * np.abs(np.asarray(ref)).mean() + 0.05

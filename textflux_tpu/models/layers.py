@@ -24,7 +24,13 @@ def dense_init(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True, scal
 
 
 def dense(p, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"].astype(x.dtype)
+    if "w_q" in p:
+        # weight-only int8: per-output-column scales, dequant fused into the
+        # matmul producer (halves weight HBM footprint/traffic)
+        w = p["w_q"].astype(x.dtype) * p["scale"][..., None, :].astype(x.dtype)
+    else:
+        w = p["w"].astype(x.dtype)
+    y = x @ w
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -293,7 +293,9 @@ def half_permute_flux_params(params, cfg: FluxConfig):
     def permute_qkv(p, extra_cols: int = 0):
         idx = np.concatenate([per_head, d + per_head,
                               2 * d + np.arange(d + extra_cols)])
-        return {"w": p["w"][..., idx], "b": p["b"][..., idx]}
+        out = {k: v[..., idx] for k, v in p.items()
+               if k in ("w", "w_q", "scale", "b")}
+        return out
 
     out = dict(params)
     dbl = dict(params["double"])

@@ -393,6 +393,7 @@ class FillPipeline:
         lora_path: Optional[str] = None,
         lora_scale: float = 1.0,
         dtype=jnp.bfloat16,
+        quantize: bool = False,
         pipe_cfg: PipelineConfig = PipelineConfig(),
         attn_impl: str = "auto",
     ) -> "FillPipeline":
@@ -422,6 +423,11 @@ class FillPipeline:
 
             flux_params = load_folded_flux_transformer(
                 t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
+        if quantize:
+            # weight-only int8: fits the 12B fill DiT on a single 16GB chip
+            from textflux_tpu.io.quantize import quantize_tree
+
+            flux_params = quantize_tree(flux_params)
 
         vae_cfg = vae_config_from(os.path.join(base_path, "vae"))
         vae_sd = load_safetensors_dir(os.path.join(base_path, "vae"))
