@@ -194,3 +194,15 @@ def test_seq_pad_multiple_matches_unpadded():
     ref = pipe(**kw)
     out = pipe(**kw, seq_pad_multiple=64)   # t_img = 96 -> pads to 128
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_quantized_pipeline_runs():
+    from tests.helpers import tiny_pipeline, FLUX_TINY
+    from textflux_tpu.io.quantize import quantize_tree
+
+    pipe = tiny_pipeline()
+    pipe.flux_params = quantize_tree(pipe.flux_params, min_size=0)
+    img, mask = _inputs()
+    out = pipe(image=img, mask_image=mask, words=["q"], seed=0,
+               dtype=jnp.float32, output_type="np")
+    assert np.isfinite(out).all()

@@ -101,6 +101,8 @@ def main():
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
     p.add_argument("--font", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--quantize", action="store_true",
+                   help="weight-only int8 DiT (fits 12B on one 16GB chip)")
     p.add_argument("--seq-pad-multiple", type=int, default=256,
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
     args = p.parse_args()
@@ -108,7 +110,8 @@ def main():
     from textflux_tpu.pipeline.fill import FillPipeline
 
     pipe = FillPipeline.from_pretrained(
-        args.model, transformer_path=args.transformer, lora_path=args.lora)
+        args.model, transformer_path=args.transformer, lora_path=args.lora,
+        quantize=args.quantize)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     font = load_font(args.font, 60)
 

@@ -108,13 +108,16 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
     p.add_argument("--font", default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="weight-only int8 DiT (fits 12B on one 16GB chip)")
     p.add_argument("--output-dir", default="outputs")
     args = p.parse_args()
 
     from textflux_tpu.pipeline.fill import FillPipeline
 
     pipe = FillPipeline.from_pretrained(
-        args.model, transformer_path=args.transformer, lora_path=args.lora)
+        args.model, transformer_path=args.transformer, lora_path=args.lora,
+        quantize=args.quantize)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     result, cropped, rendered, original, mask = run(
         pipe, args.image, args.mask, args.words,
