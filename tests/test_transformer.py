@@ -187,3 +187,36 @@ def test_fused_attn_impl_matches_xla(rng):
     out = flux_apply(fused_params, cfg, img, *args[:1], *args[1:],
                      jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_long_seq_fallback_matches(rng, monkeypatch):
+    """Above FUSED_MAX_SEQ the fused path falls back to outside-kernel
+    rms+rotate-half-rope + flash; must still match the standard path."""
+    import textflux_tpu.models.transformer as T
+    from textflux_tpu.models.transformer import half_permute_flux_params
+    from textflux_tpu.ops.rope import rope_tables_half
+
+    monkeypatch.setattr(T, "FUSED_MAX_SEQ", 8)  # force the fallback
+
+    cfg = FluxConfig(
+        in_channels=12, out_channels=4, num_double_layers=1, num_single_layers=1,
+        num_heads=2, head_dim=128, joint_dim=32, pooled_dim=16, guidance_embeds=True,
+        axes_dims_rope=(16, 56, 56), time_embed_channels=256,
+    )
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    t_txt, lat = 8, 8
+    t_img = (lat // 2) ** 2
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat, lat)], axis=0)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope)
+    ref = flux_apply(params, cfg, img, txt, pooled, jnp.array([0.5]), jnp.array([4.0]),
+                     jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+
+    cos_h, sin_h = rope_tables_half(ids, cfg.axes_dims_rope)
+    fused_params = half_permute_flux_params(params, cfg)
+    out = flux_apply(fused_params, cfg, img, txt, pooled, jnp.array([0.5]), jnp.array([4.0]),
+                     jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)

@@ -120,3 +120,22 @@ def test_tiled_decode_small_passthrough(oracle_vae, rng):
     np.testing.assert_array_equal(
         np.asarray(V.vae_decode_tiled(params, TINY, lat, tile=16)),
         np.asarray(V.vae_decode(params, TINY, lat)))
+
+
+def test_tiled_encode_matches_full(oracle_vae, rng):
+    params = _params(oracle_vae)
+    img = jnp.asarray(rng.standard_normal((1, 48, 40, 3)), jnp.float32) * 0.3
+    full = V.vae_encode(params, TINY, img)       # mode (no key)
+    tiled = V.vae_encode_tiled(params, TINY, img, tile=12, overlap=4)
+    assert tiled.shape == full.shape
+    err = np.abs(np.asarray(tiled) - np.asarray(full))
+    assert np.median(err) < 0.2
+    assert np.isfinite(np.asarray(tiled)).all()
+
+
+def test_tiled_encode_small_passthrough(oracle_vae, rng):
+    params = _params(oracle_vae)
+    img = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(V.vae_encode_tiled(params, TINY, img, tile=16)),
+        np.asarray(V.vae_encode(params, TINY, img)))

@@ -113,6 +113,22 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.nda
     return layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
 
 
+# beyond this joint sequence length the fused kernel's VMEM working set
+# (K/V + fp32 rope/scale tables) no longer fits; fall back to the unfused
+# flash kernel (same permuted weights + rotate-half tables, applied outside)
+FUSED_MAX_SEQ = 6144
+
+
+def _apply_rope_half_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-half RoPE on (B, S, H, D) (the permuted-weights convention)."""
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    rot = jnp.concatenate([-xf[..., d // 2:], xf[..., : d // 2]], axis=-1)
+    out = xf * cos[None, :, None, :] + rot * sin[None, :, None, :]
+    return out.astype(orig)
+
+
 def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_impl, kv_len):
     """One double-stream block: separate img/txt QKV + MLPs, joint attention."""
     n_txt = txt.shape[1]
@@ -128,7 +144,7 @@ def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_imp
     tq, tk, tv = jnp.split(dense(p["txt_qkv"], txt_n), 3, axis=-1)
     h = cfg.num_heads
 
-    if attn_impl == "fused":
+    if attn_impl == "fused" and (txt.shape[1] + img.shape[1]) <= FUSED_MAX_SEQ:
         # raw q/k: RMSNorm + rotate-half RoPE fuse into the attention kernel
         # (params must be in half-permuted layout, tables rotate-half)
         from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
@@ -145,6 +161,19 @@ def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_imp
             jnp.broadcast_to(p["img_k_scale"][None], (n_img, cfg.head_dim))])
         out = flash_attention_qk_norm_rope(q, k, v, rope_cos, rope_sin, qs, ks,
                                            kv_len=kv_len)
+    elif attn_impl == "fused":
+        # long-sequence fallback: same permuted weights + rotate-half tables,
+        # rms/rope applied outside, unfused flash kernel
+        iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
+        tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
+        iq = rms_norm(iq, p["img_q_scale"])
+        ik = rms_norm(ik, p["img_k_scale"])
+        tq = rms_norm(tq, p["txt_q_scale"])
+        tk = rms_norm(tk, p["txt_k_scale"])
+        q = _apply_rope_half_bshd(jnp.concatenate([tq, iq], axis=1), rope_cos, rope_sin)
+        k = _apply_rope_half_bshd(jnp.concatenate([tk, ik], axis=1), rope_cos, rope_sin)
+        v = jnp.concatenate([tv, iv], axis=1)
+        out = dot_product_attention(q, k, v, impl="pallas", kv_len=kv_len)
     else:
         iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
         tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
@@ -184,11 +213,15 @@ def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_l
     fused = dense(p["linear1"], x_n)
     q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
     q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
-    if attn_impl == "fused":
+    if attn_impl == "fused" and x.shape[1] <= FUSED_MAX_SEQ:
         from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
 
         attn = flash_attention_qk_norm_rope(
             q, k, v, rope_cos, rope_sin, p["q_scale"], p["k_scale"], kv_len=kv_len)
+    elif attn_impl == "fused":
+        q = _apply_rope_half_bshd(rms_norm(q, p["q_scale"]), rope_cos, rope_sin)
+        k = _apply_rope_half_bshd(rms_norm(k, p["k_scale"]), rope_cos, rope_sin)
+        attn = dot_product_attention(q, k, v, impl="pallas", kv_len=kv_len)
     else:
         q = rms_norm(q, p["q_scale"])
         k = rms_norm(k, p["k_scale"])

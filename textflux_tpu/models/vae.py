@@ -197,6 +197,49 @@ def vae_encode(
     return z
 
 
+def vae_encode_tiled(
+    params, cfg: VAEConfig, images: jnp.ndarray,
+    key: Optional[jax.Array] = None, *,
+    tile: int = 64, overlap: int = 16, scale: bool = True,
+) -> jnp.ndarray:
+    """Tiled encode for large canvases (bounds the mid-block attention cost,
+    which is quadratic in latent area): encode overlapping pixel tiles and
+    blend the latent seams. `tile`/`overlap` are in latent units."""
+    f = cfg.spatial_factor
+    b, hp, wp, _ = images.shape
+    h, w = hp // f, wp // f
+    if h <= tile and w <= tile:
+        return vae_encode(params, cfg, images, key=key, scale=scale)
+    stride = tile - overlap
+    out = jnp.zeros((b, h, w, cfg.latent_channels), jnp.float32)
+    weight = jnp.zeros((h, w, 1), jnp.float32)
+
+    ramp = jnp.minimum(jnp.arange(tile, dtype=jnp.float32) / overlap, 1.0)
+    win1d = jnp.minimum(ramp, ramp[::-1])
+    win = jnp.minimum(win1d[:, None], win1d[None, :])[..., None]
+
+    ys = list(range(0, max(h - tile, 0) + 1, stride)) or [0]
+    xs = list(range(0, max(w - tile, 0) + 1, stride)) or [0]
+    if ys[-1] + tile < h:
+        ys.append(h - tile)
+    if xs[-1] + tile < w:
+        xs.append(w - tile)
+    for y in ys:
+        for x in xs:
+            ty, tx = min(tile, h), min(tile, w)
+            pix = jax.lax.dynamic_slice(
+                images, (0, y * f, x * f, 0), (b, ty * f, tx * f, images.shape[-1]))
+            z = vae_encode(params, cfg, pix, key=key, scale=scale).astype(jnp.float32)
+            tile_win = win[:ty, :tx]
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (0, y, x, 0), (b, ty, tx, cfg.latent_channels))
+                + z * tile_win, (0, y, x, 0))
+            weight = jax.lax.dynamic_update_slice(
+                weight, jax.lax.dynamic_slice(weight, (y, x, 0), (ty, tx, 1)) + tile_win,
+                (y, x, 0))
+    return (out / jnp.maximum(weight, 1e-6)).astype(images.dtype)
+
+
 def vae_decode_tiled(
     params, cfg: VAEConfig, latents: jnp.ndarray, *,
     tile: int = 64, overlap: int = 16, scale: bool = True,

@@ -103,10 +103,21 @@ class FillPipeline:
             txt = t5_encode(t5_params, t5_cfg, t5_ids, dtype=dtype)
             return pooled, txt
 
+        # beyond this latent area the VAE mid-block attention (quadratic) and
+        # decoder activations dominate memory: switch to tiled encode/decode
+        VAE_TILE_THRESHOLD = 160 * 160
+
         def prepare_cond(vae_params, image, mask, key):
             # mask out the edit region, encode, pack; mask folds 8x8 -> 256 ch
+            from textflux_tpu.models.vae import vae_encode_tiled
+
             masked = image * (1.0 - mask[..., None])
-            z = vae_encode(vae_params, vae_cfg, masked, key=key)
+            lat_area = (image.shape[1] // vae_cfg.spatial_factor) * (
+                image.shape[2] // vae_cfg.spatial_factor)
+            if lat_area > VAE_TILE_THRESHOLD:
+                z = vae_encode_tiled(vae_params, vae_cfg, masked, key=key, tile=128)
+            else:
+                z = vae_encode(vae_params, vae_cfg, masked, key=key)
             img_tokens = packing.pack_latents(z)
             mask_tokens = packing.pack_mask(mask.astype(z.dtype), vae_cfg.spatial_factor)
             return jnp.concatenate([img_tokens, mask_tokens], axis=-1)
@@ -146,7 +157,11 @@ class FillPipeline:
             return latents
 
         def decode(vae_params, latents, lat_h: int, lat_w: int):
+            from textflux_tpu.models.vae import vae_decode_tiled
+
             z = packing.unpack_latents(latents, lat_h, lat_w)
+            if lat_h * lat_w > VAE_TILE_THRESHOLD:
+                return vae_decode_tiled(vae_params, vae_cfg, z, tile=128)
             return vae_decode(vae_params, vae_cfg, z)
 
         self._encode_text = jax.jit(encode_text, static_argnames=("dtype",))
