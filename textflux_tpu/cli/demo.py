@@ -149,6 +149,9 @@ def main():
     p.add_argument("--port", type=int, default=7860)
     args = p.parse_args()
 
+    from textflux_tpu.utils.tracking import enable_compilation_cache
+    enable_compilation_cache()
+
     from textflux_tpu.pipeline.fill import FillPipeline
 
     pipe = FillPipeline.from_pretrained(

@@ -107,6 +107,9 @@ def main():
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
     args = p.parse_args()
 
+    from textflux_tpu.utils.tracking import enable_compilation_cache
+    enable_compilation_cache()
+
     from textflux_tpu.pipeline.fill import FillPipeline
 
     pipe = FillPipeline.from_pretrained(

@@ -86,6 +86,9 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
+
+    from textflux_tpu.utils.tracking import enable_compilation_cache
+    enable_compilation_cache()
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from textflux_tpu.config import CLIPTextConfig, FluxConfig, T5Config, VAEConfig

@@ -46,6 +46,19 @@ class Tracker:
             self._wandb.finish()
 
 
+def enable_compilation_cache(path: Optional[str] = None) -> None:
+    """Persistent XLA compilation cache: full-width DiT compiles take minutes
+    on TPU — cache them across processes (serving restarts, eval re-runs)."""
+    import jax
+
+    path = path or os.environ.get(
+        "TEXTFLUX_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "textflux_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str, *, enabled: bool = True):
     """Capture a jax.profiler trace (view with tensorboard / xprof)."""
