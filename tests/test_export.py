@@ -87,3 +87,26 @@ def test_lora_export_folding_equivalence():
     np.testing.assert_allclose(
         np.asarray(folded["single"]["linear2"]["w"]),
         np.asarray(merged["single"]["linear2"]["w"]), atol=1e-5)
+
+
+def test_sharded_checkpoint_loading(tmp_path):
+    """load_flux_transformer(mesh=...) device_puts each weight straight onto
+    its GSPMD shards and produces the same values as plain loading."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from textflux_tpu.parallel import partitioning as PT
+
+    params = init_flux_params(jax.random.PRNGKey(5), FLUX_TINY)
+    out = str(tmp_path / "transformer")
+    save_transformer_checkpoint(params, FLUX_TINY, out)
+
+    mesh = PT.make_mesh((1, 2, 2))
+    sharded = load_flux_transformer(out, FLUX_TINY, dtype=jnp.float32, mesh=mesh)
+    plain = load_flux_transformer(out, FLUX_TINY, dtype=jnp.float32)
+
+    leaf = sharded["double"]["img_qkv"]["w"]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.spec == PT.flux_param_specs(FLUX_TINY)["double"]["img_qkv"]["w"]
+    np.testing.assert_allclose(np.asarray(leaf),
+                               np.asarray(plain["double"]["img_qkv"]["w"]), atol=1e-6)

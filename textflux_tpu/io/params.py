@@ -275,11 +275,15 @@ def to_device_params(params, dtype=jnp.bfloat16, put: Callable = jnp.asarray):
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
-def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16):
+def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16,
+                          mesh=None, specs=None):
     """Load a diffusers-format transformer checkpoint directory.
 
     Expects ``path`` to contain safetensors shards (and optionally config.json,
-    which is validated against ``cfg`` when present).
+    which is validated against ``cfg`` when present). With ``mesh`` given,
+    every weight device_puts straight from host memory onto its GSPMD shards
+    (specs default to parallel.flux_param_specs) — the 12B model never
+    materializes whole on one device.
     """
     config_file = os.path.join(path, "config.json")
     if os.path.exists(config_file):
@@ -296,4 +300,27 @@ def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16):
             if k in ref and ref[k] != ours:
                 raise ValueError(f"checkpoint {k}={ref[k]} != config {ours}")
     sd = load_safetensors_dir(path)
-    return to_device_params(convert_flux_state_dict(sd, cfg), dtype=dtype)
+    host_tree = convert_flux_state_dict(sd, cfg)
+    if mesh is None:
+        return to_device_params(host_tree, dtype=dtype)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from textflux_tpu.parallel.partitioning import flux_param_specs
+
+    specs = specs if specs is not None else flux_param_specs(cfg)
+
+    def put(spec, path_leaf, x):
+        name = path_leaf[-1].key if hasattr(path_leaf[-1], "key") else str(path_leaf[-1])
+        arr = np.asarray(x)
+        target = np.float32 if name.endswith("scale") else dtype
+        return jax.device_put(arr.astype(target), NamedSharding(mesh, spec))
+
+    flat_specs = {jax.tree_util.keystr(p): s for p, s in
+                  jax.tree_util.tree_flatten_with_path(
+                      specs, is_leaf=lambda x: isinstance(x, PartitionSpec))[0]}
+    flat = jax.tree_util.tree_flatten_with_path(host_tree)[0]
+    out_flat = [put(flat_specs[jax.tree_util.keystr(p)], p, x) for p, x in flat]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(host_tree), out_flat)
