@@ -7,7 +7,7 @@ crop) with cv2 perspective warping instead of the torch affine_grid route.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

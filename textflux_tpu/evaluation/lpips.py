@@ -9,7 +9,7 @@ spatial mean, sum over stages. Weights load from a torch `lpips.LPIPS(net=
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import jax

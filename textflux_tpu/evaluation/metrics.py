@@ -7,7 +7,7 @@ Definitions match the reference harness (eval/eval_dgocr.py:194-196,294-295):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 
 def levenshtein(a: str, b: str) -> int:

@@ -18,7 +18,6 @@ all image math is NHWC.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Callable, List, Optional, Sequence, Union
 
@@ -409,6 +408,7 @@ class FillPipeline:
         lora_scale: float = 1.0,
         dtype=jnp.bfloat16,
         quantize: bool = False,
+        mesh=None,
         pipe_cfg: PipelineConfig = PipelineConfig(),
         attn_impl: str = "auto",
     ) -> "FillPipeline":
@@ -432,7 +432,8 @@ class FillPipeline:
         t_path = transformer_path or os.path.join(base_path, "transformer")
         flux_cfg = flux_config_from(t_path)
         if lora_path is None:
-            flux_params = load_flux_transformer(t_path, flux_cfg, dtype=dtype)
+            # with a mesh, the DiT loads straight onto its tensor shards
+            flux_params = load_flux_transformer(t_path, flux_cfg, dtype=dtype, mesh=mesh)
         else:
             from textflux_tpu.io.lora import load_folded_flux_transformer
 
@@ -460,7 +461,14 @@ class FillPipeline:
 
         clip_tok, t5_tok = load_tokenizers(base_path, max_t5_length=pipe_cfg.max_sequence_length)
 
-        return cls(
+        if mesh is not None:
+            from textflux_tpu.parallel import partitioning as PT
+
+            vae_params = PT.replicate_tree(vae_params, mesh)
+            clip_params = PT.replicate_tree(clip_params, mesh)
+            t5_params = PT.replicate_tree(t5_params, mesh)
+
+        pipe = cls(
             flux_params=flux_params, flux_cfg=flux_cfg,
             vae_params=vae_params, vae_cfg=vae_cfg,
             clip_params=clip_params, clip_cfg=clip_cfg,
@@ -468,3 +476,6 @@ class FillPipeline:
             clip_tokenize=clip_tok, t5_tokenize=t5_tok,
             pipe_cfg=pipe_cfg, attn_impl=attn_impl,
         )
+        if mesh is not None:
+            pipe.mesh = mesh
+        return pipe

@@ -8,7 +8,7 @@ Behavioral ports:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Tuple
 
 import numpy as np
 from PIL import Image

@@ -9,8 +9,6 @@ checkpointing (TPU-idiomatic, works on sharded pytrees directly).
 from __future__ import annotations
 
 import os
-import re
-import shutil
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp

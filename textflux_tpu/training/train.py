@@ -234,8 +234,6 @@ def flow_matching_loss(
     noisy = (1.0 - sig) * x + sig * noise
 
     lat_h, lat_w = x.shape[1], x.shape[2]
-    from textflux_tpu.ops.rope import rope_tables
-
     ids = jnp.concatenate(
         [jnp.zeros((txt.shape[1], 3)),
          jnp.asarray(packing.latent_image_ids(lat_h, lat_w), jnp.float32)], axis=0)
