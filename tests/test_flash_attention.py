@@ -127,3 +127,42 @@ def test_pallas_gradients_match_xla(rng):
     g_pal = loss("pallas")
     for a, b_ in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_backward_kernels_match_xla_vjp(rng):
+    """Pallas dq/dk/dv must match autodiff through the XLA reference."""
+    import jax
+    from textflux_tpu.ops.flash_attention import flash_attention_bwd
+
+    b, s, h, d = 1, 200, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(do)
+
+    dq, dk, dv = flash_attention_bwd(q, k, v, do, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4)
+
+
+def test_backward_kernels_kv_len(rng):
+    import jax
+    from textflux_tpu.ops.flash_attention import flash_attention_bwd
+
+    b, s, h, d, real = 1, 256, 2, 32, 200
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=real), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(do)
+    dq, dk, dv = flash_attention_bwd(q, k, v, do, kv_len=real,
+                                     block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk[:, :real]), np.asarray(dk_ref[:, :real]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv[:, :real]), np.asarray(dv_ref[:, :real]), atol=2e-4)

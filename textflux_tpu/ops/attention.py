@@ -55,9 +55,8 @@ def dot_product_attention(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_differentiable(q, k, v, kv_len):
-    """Pallas flash forward with an XLA-recompute backward (the kernel has no
-    native VJP yet): grads are exact for the attention function, activations
-    rematerialize per call — fine under per-block remat."""
+    """Pallas flash forward + pallas backward kernels (dq/dk/dv) — neither
+    direction ever materializes the (S x S) score matrix in HBM."""
     from textflux_tpu.ops.flash_attention import flash_attention
 
     return flash_attention(q, k, v, kv_len=kv_len)
@@ -69,8 +68,15 @@ def _flash_fwd(q, k, v, kv_len):
 
 def _flash_bwd(kv_len, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=kv_len), q, k, v)
-    return vjp(g)
+    # short sequences: XLA-recompute backward is marginally faster and the
+    # (S x S) temporary is small; long sequences: the pallas backward kernels
+    # keep memory O(S) (at 8k+ tokens the XLA path materializes multi-GB scores)
+    if q.shape[1] <= 4096:
+        _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=kv_len), q, k, v)
+        return vjp(g)
+    from textflux_tpu.ops.flash_attention import flash_attention_bwd
+
+    return flash_attention_bwd(q, k, v, g, kv_len=kv_len)
 
 
 _flash_differentiable.defvjp(_flash_fwd, _flash_bwd)

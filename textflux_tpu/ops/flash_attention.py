@@ -134,6 +134,169 @@ def flash_attention(
 
 
 # ---------------------------------------------------------------------------
+# Backward kernels (training): dQ / dK / dV without materializing S^2 scores
+# ---------------------------------------------------------------------------
+
+def _lse_kernel(q_ref, k_ref, l_ref, *, block_k: int, kv_len: int, scale: float):
+    """Row log-sum-exp of the score matrix: L_i = m_i + log sum_j e^{s_ij - m_i}.
+    Output is lane-replicated (bq, 128) so the block layout stays tile-legal."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq = q.shape[0]
+    nk = k_ref.shape[1] // block_k
+    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+
+    def body(i, carry):
+        m, l = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col < kv_len, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1, keepdims=True)
+        return m_new, l
+
+    m, l = jax.lax.fori_loop(0, nk, body, (m0, l0))
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    l_ref[0] = jnp.broadcast_to(lse, (bq, 128))
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
+               *, block_k: int, kv_len: int, scale: float):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    dvec = dvec_ref[0][:, :1]
+    bq, d = q.shape
+    nk = k_ref.shape[1] // block_k
+
+    def body(i, acc):
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q * scale, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dvec)
+        return acc + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
+                *, block_q: int, kv_len: int, scale: float):
+    kb = k_ref[0].astype(jnp.float32)
+    vb = v_ref[0].astype(jnp.float32)
+    bk, d = kb.shape
+    nq = q_ref.shape[1] // block_q
+    j0 = pl.program_id(2) * bk
+    col_valid = (j0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)) < kv_len
+
+    def body(i, carry):
+        dk, dv = carry
+        qb = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        dob = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :][:, :1]
+        dvec = dvec_ref[0, pl.ds(i * block_q, block_q), :][:, :1]
+        s = jax.lax.dot_general(qb * scale, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)       # (bq, bk)
+        dv = dv + jax.lax.dot_general(p, dob, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dob, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dvec)
+        dk = dk + jax.lax.dot_general(ds, qb, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, nq, body, (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q: int = 512,
+                        block_k: int = 512, interpret=None):
+    """Pallas backward pass: (dq, dk, dv) for non-causal softmax attention.
+
+    Recomputes row log-sum-exp (one extra QK pass) instead of saving softmax
+    stats; never materializes the (S x S) score matrix in HBM.
+    """
+    b, s, h, d = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kv_len = int(kv_len) if kv_len is not None else s
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(block_q, max(128, -(-s // 128) * 128))
+    block_k = min(block_k, max(128, -(-s // 128) * 128))
+    blk = max(block_q, block_k)
+
+    qp = _pad_to(q.reshape(b, s, h * d), 1, blk)
+    kp = _pad_to(k.reshape(b, s, h * d), 1, blk)
+    vp = _pad_to(v.reshape(b, s, h * d), 1, blk)
+    dop = _pad_to(do.reshape(b, s, h * d), 1, blk)
+    sp = qp.shape[1]
+
+    full = lambda: pl.BlockSpec((1, sp, d), lambda ib, ih, i: (ib, 0, ih),
+                                memory_space=pltpu.VMEM)
+    qblk = lambda: pl.BlockSpec((1, block_q, d), lambda ib, ih, i: (ib, i, ih),
+                                memory_space=pltpu.VMEM)
+    kblk = lambda: pl.BlockSpec((1, block_k, d), lambda ib, ih, i: (ib, i, ih),
+                                memory_space=pltpu.VMEM)
+    # pass 1: row log-sum-exp (lane-replicated), per (b, h)
+    lse = pl.pallas_call(
+        functools.partial(_lse_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
+        grid=(b, h, sp // block_q),
+        in_specs=[qblk(), full()],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda ib, ih, i: (ib * h + ih, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, 128), jnp.float32),
+        interpret=interpret,
+    )(qp, kp)
+
+    # D_i = rowsum(dO * O): O recomputed via the forward kernel (cheap vs bwd)
+    o = flash_attention(q, k, v, kv_len=kv_len, block_q=block_q, block_k=block_k,
+                        interpret=interpret)
+    dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B,S,H)
+    dvec = _pad_to(dvec.transpose(0, 2, 1).reshape(b * h, s), 1, blk)        # (B*H, Sp)
+    dvec = jnp.broadcast_to(dvec[..., None], (b * h, sp, 128)).astype(jnp.float32)
+    dvec = jnp.ascontiguousarray(dvec) if hasattr(jnp, "ascontiguousarray") else dvec
+
+    lse_spec_q = pl.BlockSpec((1, block_q, 128), lambda ib, ih, i: (ib * h + ih, i, 0),
+                              memory_space=pltpu.VMEM)
+    lse_spec_full = pl.BlockSpec((1, sp, 128), lambda ib, ih, i: (ib * h + ih, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
+        grid=(b, h, sp // block_q),
+        in_specs=[qblk(), full(), full(), qblk(), lse_spec_q, lse_spec_q],
+        out_specs=qblk(),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, dvec)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_q=block_q, kv_len=kv_len, scale=scale),
+        grid=(b, h, sp // block_k),
+        in_specs=[full(), kblk(), kblk(), full(), lse_spec_full, lse_spec_full],
+        out_specs=(kblk(), kblk()),
+        out_shape=(jax.ShapeDtypeStruct(kp.shape, k.dtype),
+                   jax.ShapeDtypeStruct(vp.shape, v.dtype)),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, dvec)
+
+    unpack = lambda x: x[:, :s].reshape(b, s, h, d)
+    return unpack(dq), unpack(dk), unpack(dv)
+
+
+# ---------------------------------------------------------------------------
 # Fused RMSNorm + RoPE + attention kernel
 # ---------------------------------------------------------------------------
 
