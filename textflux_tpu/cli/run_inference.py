@@ -113,6 +113,12 @@ def main():
     p.add_argument("--output-dir", default="outputs")
     args = p.parse_args()
 
+    # read_words treats a non-existent path as raw text (demo-input semantics);
+    # for the CLI that silently renders the PATH STRING — reject it instead
+    for path_arg in (args.image, args.mask, args.words):
+        if not os.path.exists(path_arg):
+            p.error(f"file not found: {path_arg}")
+
     from textflux_tpu.utils.tracking import enable_compilation_cache
     enable_compilation_cache()
 

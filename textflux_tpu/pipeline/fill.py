@@ -73,7 +73,10 @@ class FillPipeline:
         self.t5_tokenize = t5_tokenize
         self.pipe_cfg = pipe_cfg
         if attn_impl == "auto":
-            attn_impl = "fused" if jax.default_backend() == "tpu" else "xla"
+            # the fused kernel requires 128-lane-aligned head_dim on real TPUs;
+            # other configs stay on the per-call auto (pallas/xla) dispatch
+            if jax.default_backend() == "tpu" and flux_cfg.head_dim % 128 == 0:
+                attn_impl = "fused"
         self.attn_impl = attn_impl
         if attn_impl == "fused":
             # fold the rotate-half permutation into the q/k weight columns once
