@@ -57,3 +57,76 @@ def test_ocr_harness_with_stub_recognizer(gt_fixture):
     assert metrics["count"] == 3
     assert metrics["seq_acc"] == pytest.approx(2 / 3)
     assert metrics["ned"] < 1.0
+
+
+@pytest.fixture()
+def two_bucket_fixture(tmp_path, rng):
+    """5 items across two distinct //32 resolution buckets."""
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    data = {"data_list": []}
+    sizes = [(128, 160), (128, 160), (128, 160), (96, 128), (96, 128)]
+    for i, (h, w) in enumerate(sizes):
+        name = f"b_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(imgs / name)
+        data["data_list"].append({
+            "img_name": name,
+            "annotations": [{"text": f"t{i}", "polygon": [[10, 20], [w - 10, 20], [w - 10, 50], [10, 50]]}],
+        })
+    jp = tmp_path / "gt.json"
+    jp.write_text(json.dumps(data))
+    return str(jp), str(imgs), tmp_path
+
+
+def _run_eval_cli(monkeypatch, jp, imgs, out_dir, batch_size, extra=()):
+    from textflux_tpu.cli import run_eval as RE
+    from textflux_tpu.pipeline.fill import FillPipeline
+    from tests.helpers import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    monkeypatch.setattr(FillPipeline, "from_pretrained",
+                        classmethod(lambda cls, *a, **k: pipe))
+    RE.main([
+        "--model", "unused", "--json-path", jp, "--original-images-dir", imgs,
+        "--output-dir", str(out_dir), "--steps", "2",
+        "--batch-size", str(batch_size), "--seq-pad-multiple", "64",
+        *extra,
+    ])
+
+
+def test_run_eval_cli_batched_matches_per_item(monkeypatch, two_bucket_fixture):
+    """--batch-size>1 groups items into (H, W) buckets through generate_batch
+    and produces the same images as the per-item path."""
+    jp, imgs, tmp = two_bucket_fixture
+    _run_eval_cli(monkeypatch, jp, imgs, tmp / "per_item", 1)
+    _run_eval_cli(monkeypatch, jp, imgs, tmp / "batched", 2)
+
+    import os
+    names = sorted(os.listdir(tmp / "per_item" / "full_images"))
+    assert len(names) == 5
+    assert sorted(os.listdir(tmp / "batched" / "full_images")) == names
+    for sub in ("full_images", "cropped_images"):
+        for name in names:
+            a = np.asarray(Image.open(tmp / "per_item" / sub / name), np.int16)
+            b = np.asarray(Image.open(tmp / "batched" / sub / name), np.int16)
+            np.testing.assert_allclose(a, b, atol=1, err_msg=f"{sub}/{name}")
+    for d in ("per_item", "batched"):
+        report = json.loads((tmp / d / "failures.json").read_text())
+        assert report["done"] == 5 and report["failed"] == 0
+
+
+def test_run_eval_cli_records_failures(monkeypatch, two_bucket_fixture, tmp_path):
+    """A broken item lands in failures.json with context; the rest complete."""
+    jp, imgs, tmp = two_bucket_fixture
+    data = json.loads(open(jp).read())
+    data["data_list"].append({
+        "img_name": "missing.png",
+        "annotations": [{"text": "x", "polygon": [[0, 0], [10, 0], [10, 10], [0, 10]]}],
+    })
+    jp2 = tmp_path / "gt2.json"
+    jp2.write_text(json.dumps(data))
+    _run_eval_cli(monkeypatch, str(jp2), imgs, tmp / "out_fail", 2)
+    report = json.loads((tmp / "out_fail" / "failures.json").read_text())
+    assert report["done"] == 5 and report["failed"] == 1
+    assert report["failures"][0]["img_name"] == "missing.png"
+    assert "error" in report["failures"][0]

@@ -39,35 +39,40 @@ def _snap32(img: Image.Image) -> Image.Image:
     return img.resize(((w // 32) * 32, (h // 32) * 32))
 
 
-def _run_pipe(pipe, image, mask, words, steps, guidance, seed, sampler="overshoot"):
+def _run_pipe(pipe, image, mask, words, steps, guidance, seed, sampler="overshoot",
+              overshoot_c=None):
     image, mask = _snap32(image), _snap32(mask)
     prompt, prompt_2 = build_prompts(words)
     return pipe(
         image=image, mask_image=mask, prompt=prompt, prompt_2=prompt_2,
         width=image.size[0], height=image.size[1],
         num_inference_steps=steps, guidance_scale=guidance, seed=seed,
-        sampler=sampler,
+        sampler=sampler, overshoot_c=overshoot_c,
     )[0]
 
 
 def demo_custom(pipe, original: Image.Image, drawn, words_text: str,
                 steps: int = 30, guidance: float = 30.0, seed: int = 42,
-                sampler: str = "overshoot", font=None):
+                sampler: str = "overshoot", overshoot_c: Optional[float] = None,
+                font=None):
     """Custom mode: extract the sketch mask, render per-region glyphs, fill."""
     words = read_words(words_text)
     mask = extract_mask(original, drawn)
     rendered = render_glyph_multi(original, mask, words, font=font)
     combined, combined_mask, direction = concat_multiline(original, mask, rendered)
-    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed,
+                       sampler, overshoot_c)
     return crop_multiline_result(result, direction), result, rendered
 
 
 def demo_normal(pipe, combined: Image.Image, combined_mask: Image.Image,
                 words_text: str, steps: int = 30, guidance: float = 30.0,
-                seed: int = 42, sampler: str = "overshoot"):
+                seed: int = 42, sampler: str = "overshoot",
+                overshoot_c: Optional[float] = None):
     """Normal mode: inputs are already concatenated."""
     words = read_words(words_text)
-    return _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+    return _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed,
+                     sampler, overshoot_c)
 
 
 def _stacked_strips(original: Image.Image, words: List[str], font) -> Image.Image:
@@ -83,7 +88,8 @@ def _stacked_strips(original: Image.Image, words: List[str], font) -> Image.Imag
 
 def demo_custom_beta(pipe, original: Image.Image, drawn, words_text: str,
                      steps: int = 30, guidance: float = 30.0, seed: int = 42,
-                     sampler: str = "overshoot", font=None):
+                     sampler: str = "overshoot", overshoot_c: Optional[float] = None,
+                     font=None):
     """Beta custom mode: strip-based conditioning, dispatch on line count."""
     words = read_words(words_text)
     mask = extract_mask(original, drawn)
@@ -96,7 +102,8 @@ def demo_custom_beta(pipe, original: Image.Image, drawn, words_text: str,
     else:
         strip = _stacked_strips(original, words, font)
     combined, combined_mask, strip_h = concat_singleline(original, mask, strip)
-    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed, sampler)
+    result = _run_pipe(pipe, combined, combined_mask, words, steps, guidance, seed,
+                       sampler, overshoot_c)
     return crop_singleline_result(result, original.size[1], strip_h), result, strip
 
 
@@ -120,12 +127,14 @@ def build_ui(pipe, *, beta: bool = False):
             steps = gr.Slider(1, 100, value=30, step=1, label="Steps")
             guidance = gr.Slider(1, 60, value=30, label="Guidance")
             seed = gr.Number(value=42, label="Seed")
+            oc = gr.Slider(0, 10, value=2.0, label="Overshoot c (AMO sampler)")
             out = gr.Image(label="Result (cropped)")
             run = gr.Button("Generate")
             run.click(
-                lambda img, w, s, g, sd: custom_fn(pipe, img["image"], img, w,
-                                                   int(s), float(g), int(sd))[0],
-                [original, words, steps, guidance, seed], out)
+                lambda img, w, s, g, sd, c: custom_fn(pipe, img["image"], img, w,
+                                                      int(s), float(g), int(sd),
+                                                      overshoot_c=float(c))[0],
+                [original, words, steps, guidance, seed, oc], out)
         with gr.Tab("Normal Mode"):
             combined = gr.Image(type="pil", label="Combined image")
             cmask = gr.Image(type="pil", label="Combined mask")

@@ -5,21 +5,27 @@ full + cropped results for the OCR/FID harnesses.
 
 TPU-first design: the reference farms one process per GPU from a Manager queue
 (scripts/run_eval.py:221-247); here a single host groups items into //32-snapped
-resolution buckets and runs them as device-wide batches through the jitted
-pipeline (data-sharded over the mesh when more than one chip is attached). A
-per-item loop (batch 1) is the degenerate case and the default on one chip.
+resolution buckets and runs each bucket as device-wide batches through the
+jitted pipeline (``--batch-size``), data-sharded over the mesh when ``--mesh``
+is given (FillPipeline.shard_for_serving). RNG is per-sample, so batched
+outputs are identical to the per-item path (the default at batch size 1).
+
+Failures are caught per item (reference worker: scripts/run_eval.py:195-198)
+and written with context to <output-dir>/failures.json so runs are auditable.
 
 Usage:
   python -m textflux_tpu.cli.run_eval \
       --model /path/to/FLUX.1-Fill-dev --transformer ... \
       --json-path data.json --original-images-dir imgs/ --output-dir out/ \
-      [--steps 30] [--guidance-scale 30] [--scheduler default|overshoot] \
-      [--text-height-ratio 0.15625] [--batch-size 1]
+      [--batch-size 4] [--mesh dp,fsdp,tp] [--steps 30] [--guidance-scale 30] \
+      [--scheduler default|overshoot] [--overshoot-c 2.0] \
+      [--text-height-ratio 0.15625]
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 from typing import List
@@ -72,6 +78,7 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
         "img_name": item["img_name"],
         "image": combined.resize((new_w, new_h)),
         "mask": combined_mask.resize((new_w, new_h)),
+        "words": [text],
         "prompt": prompt,
         "prompt_2": prompt_2,
         "size": (new_w, new_h),
@@ -86,7 +93,66 @@ def crop_scene(result: Image.Image, orig_h: int, strip_h: int) -> Image.Image:
     return result.crop((0, top, res_w, res_h))
 
 
-def main():
+def group_by_bucket(prepared: List[dict]) -> dict:
+    """Group prepared items by their //32-snapped (W, H) so each bucket shares
+    one compiled denoise program."""
+    buckets: dict = {}
+    for prep in prepared:
+        buckets.setdefault(prep["size"], []).append(prep)
+    return buckets
+
+
+def run_items(pipe, prepared: List[dict], *, batch_size: int, steps: int,
+              guidance_scale: float, seed: int, sampler: str, overshoot_c,
+              seq_pad_multiple, save_fn, failures: List[dict]):
+    """Drive prepared items through the pipeline in (H, W)-bucketed batches.
+
+    batch_size 1 uses the per-item __call__ path; larger sizes use
+    generate_batch (identical outputs — per-sample RNG)."""
+    if batch_size <= 1:
+        for prep in prepared:
+            try:
+                result = pipe(
+                    image=prep["image"], mask_image=prep["mask"],
+                    prompt=prep["prompt"], prompt_2=prep["prompt_2"],
+                    width=prep["size"][0], height=prep["size"][1],
+                    num_inference_steps=steps, guidance_scale=guidance_scale,
+                    seed=seed, sampler=sampler, overshoot_c=overshoot_c,
+                    seq_pad_multiple=seq_pad_multiple,
+                )[0]
+                save_fn(prep, result)
+            except Exception as e:  # per-item resilience, like the reference worker
+                failures.append({"img_name": prep.get("img_name"), "error": repr(e)})
+                print(f"FAILED {prep.get('img_name')}: {e}")
+        return
+
+    for (w, h), bucket in group_by_bucket(prepared).items():
+        for i in range(0, len(bucket), batch_size):
+            chunk = bucket[i:i + batch_size]
+            try:
+                results = pipe.generate_batch(
+                    [p["image"] for p in chunk],
+                    [p["mask"] for p in chunk],
+                    [p["words"] for p in chunk],
+                    width=w, height=h,
+                    num_inference_steps=steps, guidance_scale=guidance_scale,
+                    seed=seed, sampler=sampler, overshoot_c=overshoot_c,
+                    seq_pad_multiple=seq_pad_multiple,
+                )
+            except Exception as e:  # whole chunk failed (e.g. OOM): record each
+                for p in chunk:
+                    failures.append({"img_name": p.get("img_name"), "error": repr(e)})
+                print(f"FAILED batch of {len(chunk)} at {w}x{h}: {e}")
+                continue
+            for prep, result in zip(chunk, results):
+                try:
+                    save_fn(prep, result)
+                except Exception as e:
+                    failures.append({"img_name": prep.get("img_name"), "error": repr(e)})
+                    print(f"FAILED {prep.get('img_name')}: {e}")
+
+
+def main(argv=None):
     p = argparse.ArgumentParser(description="textflux-tpu batch evaluation")
     p.add_argument("--model", required=True)
     p.add_argument("--transformer", default=None)
@@ -98,23 +164,37 @@ def main():
     p.add_argument("--guidance-scale", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
+    p.add_argument("--overshoot-c", type=float, default=None,
+                   help="AMO overshoot strength (reference set_c; default 2.0)")
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
     p.add_argument("--font", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="device-wide batch per (H,W) bucket; 1 = per-item path")
+    p.add_argument("--mesh", default=None,
+                   help="dp,fsdp,tp — shard the DiT + data-shard batches "
+                        "(TPU-native replacement for the per-GPU eval farm)")
     p.add_argument("--quantize", action="store_true",
                    help="weight-only int8 DiT (fits 12B on one 16GB chip)")
     p.add_argument("--seq-pad-multiple", type=int, default=256,
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from textflux_tpu.utils.tracking import enable_compilation_cache
     enable_compilation_cache()
 
     from textflux_tpu.pipeline.fill import FillPipeline
 
+    mesh = None
+    if args.mesh:
+        from textflux_tpu.parallel import partitioning as PT
+
+        shape = tuple(int(x) for x in args.mesh.split(","))
+        mesh = PT.make_mesh(shape)
+
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize)
+        quantize=args.quantize, mesh=mesh)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     font = load_font(args.font, 60)
 
@@ -128,26 +208,40 @@ def main():
         items = items[: args.limit]
     print(f"{len(items)} eval items")
 
-    done = failed = 0
+    failures: List[dict] = []
+    prepared = []
     for item in items:
         try:
-            prep = prepare_item(item, args.original_images_dir, font, args.text_height_ratio)
-            result = pipe(
-                image=prep["image"], mask_image=prep["mask"],
-                prompt=prep["prompt"], prompt_2=prep["prompt_2"],
-                width=prep["size"][0], height=prep["size"][1],
-                num_inference_steps=args.steps, guidance_scale=args.guidance_scale,
-                seed=args.seed, sampler=sampler,
-                seq_pad_multiple=args.seq_pad_multiple or None,
-            )[0]
-            result.save(os.path.join(full_dir, prep["img_name"]))
-            crop_scene(result, prep["orig_h"], prep["strip_h"]).save(
-                os.path.join(crop_dir, prep["img_name"]))
-            done += 1
-        except Exception as e:  # per-item resilience, like the reference worker
-            failed += 1
-            print(f"FAILED {item.get('img_name')}: {e}")
-    print(f"done={done} failed={failed}")
+            prepared.append(prepare_item(
+                item, args.original_images_dir, font, args.text_height_ratio))
+        except Exception as e:
+            failures.append({"img_name": item.get("img_name"), "error": repr(e)})
+            print(f"FAILED prepare {item.get('img_name')}: {e}")
+
+    saved = []
+
+    def save_fn(prep, result):
+        result.save(os.path.join(full_dir, prep["img_name"]))
+        crop_scene(result, prep["orig_h"], prep["strip_h"]).save(
+            os.path.join(crop_dir, prep["img_name"]))
+        saved.append(prep["img_name"])
+
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        run_items(
+            pipe, prepared, batch_size=args.batch_size, steps=args.steps,
+            guidance_scale=args.guidance_scale, seed=args.seed, sampler=sampler,
+            overshoot_c=args.overshoot_c,
+            seq_pad_multiple=args.seq_pad_multiple or None,
+            save_fn=save_fn, failures=failures)
+
+    report = {"total": len(items), "done": len(saved), "failed": len(failures),
+              "failures": failures}
+    with open(os.path.join(args.output_dir, "failures.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(report, f, ensure_ascii=False, indent=2)
+    print(f"done={len(saved)} failed={len(failures)}")
+
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ def render_conditioning(original: Image.Image, mask: Image.Image, words, font=No
 
 
 def run(pipe, image_path, mask_path, words_path, *, steps=30, guidance_scale=30.0,
-        seed=42, sampler="euler", font_path=None):
+        seed=42, sampler="euler", overshoot_c=None, font_path=None):
     original = Image.open(image_path).convert("RGB")
     mask = Image.open(mask_path).convert("RGB")
     words = read_words(words_path)
@@ -73,7 +73,7 @@ def run(pipe, image_path, mask_path, words_path, *, steps=30, guidance_scale=30.
         prompt=prompt, prompt_2=prompt_2,
         height=new_h, width=new_w,
         num_inference_steps=steps, guidance_scale=guidance_scale,
-        seed=seed, sampler=sampler,
+        seed=seed, sampler=sampler, overshoot_c=overshoot_c,
     )[0]
     return result, crop_fn(result), rendered, original, mask
 
@@ -107,6 +107,8 @@ def main():
     p.add_argument("--guidance-scale", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
+    p.add_argument("--overshoot-c", type=float, default=None,
+                   help="AMO overshoot strength (reference set_c; default 2.0)")
     p.add_argument("--font", default=None)
     p.add_argument("--quantize", action="store_true",
                    help="weight-only int8 DiT (fits 12B on one 16GB chip)")
@@ -131,7 +133,8 @@ def main():
     result, cropped, rendered, original, mask = run(
         pipe, args.image, args.mask, args.words,
         steps=args.steps, guidance_scale=args.guidance_scale,
-        seed=args.seed, sampler=sampler, font_path=args.font)
+        seed=args.seed, sampler=sampler, overshoot_c=args.overshoot_c,
+        font_path=args.font)
     seq = save_results(args.output_dir, result, cropped, mask, original, rendered, args.words)
     print(f"saved result_{seq}.png under {args.output_dir}")
 

@@ -127,11 +127,13 @@ class FillPipeline:
         def denoise(flux_params, latents, cond, txt, pooled, sigmas, guidance,
                     rope_cos, rope_sin, keys, sampler: str, overshoot_c: float,
                     kv_len=None):
+            """keys: (steps, B, 2) raw PRNG keys — one stream PER SAMPLE, so a
+            batched run consumes exactly the noise a per-item run would."""
             b = latents.shape[0]
 
             def step(carry, xs):
                 lat = carry
-                sigma, sigma_next, key = xs
+                sigma, sigma_next, keys_b = xs
                 v = flux_apply(
                     flux_params, flux_cfg,
                     jnp.concatenate([lat, cond], axis=-1),
@@ -143,13 +145,15 @@ class FillPipeline:
                     kv_len=kv_len,
                 )
                 if sampler == "overshoot":
-                    lat = samplers.overshoot_step(lat, v, sigma, sigma_next, key, c=overshoot_c)
+                    lat = jax.vmap(lambda l, u, k: samplers.overshoot_step(
+                        l, u, sigma, sigma_next, k, c=overshoot_c))(lat, v, keys_b)
                 elif sampler == "overshoot_spatial":
                     # per-token overshoot weighted by mask occupancy (the packed
                     # mask is the tail of the cond features)
                     c_map = overshoot_c * jnp.mean(
                         cond[..., vae_cfg.latent_channels * 4:].astype(jnp.float32), -1)
-                    lat = samplers.overshoot_step_spatial(lat, v, sigma, sigma_next, key, c_map)
+                    lat = jax.vmap(lambda l, u, k, cm: samplers.overshoot_step_spatial(
+                        l, u, sigma, sigma_next, k, cm))(lat, v, keys_b, c_map)
                 else:
                     lat = samplers.euler_step(lat, v, sigma, sigma_next)
                 return lat, None
@@ -166,8 +170,16 @@ class FillPipeline:
                 return vae_decode_tiled(vae_params, vae_cfg, z, tile=128)
             return vae_decode(vae_params, vae_cfg, z)
 
+        def prepare_cond_batch(vae_params, image, mask, keys):
+            # per-sample VAE posterior keys: sample i is bit-identical to a
+            # b=1 prepare_cond(image[i], mask[i], keys[i]) call
+            return jax.vmap(
+                lambda im, mk, k: prepare_cond(vae_params, im[None], mk[None], k)[0]
+            )(image, mask, keys)
+
         self._encode_text = jax.jit(encode_text, static_argnames=("dtype",))
         self._prepare_cond = jax.jit(prepare_cond)
+        self._prepare_cond_batch = jax.jit(prepare_cond_batch)
         self._denoise = jax.jit(denoise,
                                 static_argnames=("sampler", "overshoot_c", "kv_len"))
         self._decode = jax.jit(decode, static_argnames=("lat_h", "lat_w"))
@@ -199,6 +211,7 @@ class FillPipeline:
         guidance_scale: Optional[float] = None,
         seed: int = 42,
         sampler: Optional[str] = None,
+        overshoot_c: Optional[float] = None,
         dtype=jnp.bfloat16,
         text_embeds=None,
         output_type: str = "pil",
@@ -219,6 +232,7 @@ class FillPipeline:
         steps = num_inference_steps or cfgp.num_inference_steps
         guidance_scale = cfgp.guidance_scale if guidance_scale is None else guidance_scale
         sampler = sampler or cfgp.sampler
+        overshoot_c = cfgp.overshoot_c if overshoot_c is None else overshoot_c
 
         pil = improc.to_pil(image)
         w0, h0 = pil.size
@@ -277,13 +291,17 @@ class FillPipeline:
             base_shift=cfgp.base_shift, max_shift=cfgp.max_shift,
         )
         guidance = jnp.full((b,), guidance_scale, jnp.float32) if self.flux_cfg.guidance_embeds else None
-        step_keys = jax.random.split(key_steps, steps)
+        step_keys = jax.random.split(key_steps, steps)          # (steps, 2)
+        if b == 1:
+            step_keys = step_keys[:, None, :]                   # (steps, 1, 2)
+        else:
+            step_keys = jax.vmap(lambda k: jax.random.split(k, b))(step_keys)
 
         latents = self._denoise(
             self.flux_params, latents, cond, txt, pooled,
             jnp.asarray(sigmas), guidance,
             jnp.asarray(cos), jnp.asarray(sin), step_keys,
-            sampler, float(cfgp.overshoot_c), kv_len,
+            sampler, float(overshoot_c), kv_len,
         )
         if t_pad != t_img:
             latents = latents[:, :t_img]
@@ -331,12 +349,20 @@ class FillPipeline:
         num_inference_steps: Optional[int] = None,
         guidance_scale: Optional[float] = None,
         seed: int = 42,
+        seeds: Optional[Sequence[int]] = None,
         sampler: Optional[str] = None,
+        overshoot_c: Optional[float] = None,
         dtype=jnp.bfloat16,
+        seq_pad_multiple: Optional[int] = None,
     ):
         """Batched generation: all samples share one (height, width) bucket;
         T5 prompts differ per sample, CLIP uses the shared generic template.
         When shard_for_serving was called, the batch data-shards over the mesh.
+
+        RNG is PER SAMPLE: sample i consumes exactly the noise streams of a
+        single-item __call__ with seed ``seeds[i]`` (default: ``seed`` for
+        every sample, matching the reference eval farm re-seeding each item —
+        scripts/run_eval.py:117), so batched output == per-item output.
         """
         from textflux_tpu.pipeline.prompts import GENERIC_TEMPLATE, words_prompt
 
@@ -344,7 +370,13 @@ class FillPipeline:
         steps = num_inference_steps or cfgp.num_inference_steps
         guidance_scale = cfgp.guidance_scale if guidance_scale is None else guidance_scale
         sampler = sampler or cfgp.sampler
+        overshoot_c = cfgp.overshoot_c if overshoot_c is None else overshoot_c
         width, height = (width // 16) * 16, (height // 16) * 16
+
+        b = len(images)
+        seeds = [int(s) for s in (seeds if seeds is not None else [seed] * b)]
+        if len(seeds) != b:
+            raise ValueError(f"{len(seeds)} seeds for {b} images")
 
         img = jnp.asarray(np.concatenate(
             [improc.preprocess_image(im, height, width) for im in images]), dtype)
@@ -354,6 +386,7 @@ class FillPipeline:
         clip_ids = np.concatenate([self.clip_tokenize(GENERIC_TEMPLATE)] * len(images))
         t5_ids = np.concatenate([self.t5_tokenize(words_prompt(w)) for w in words_list])
         mesh = getattr(self, "mesh", None)
+        bspec = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -366,22 +399,39 @@ class FillPipeline:
             self.clip_params, self.t5_params, jnp.asarray(clip_ids),
             jnp.asarray(t5_ids), dtype)
 
-        b = img.shape[0]
         lat_h = height // self.vae_cfg.spatial_factor
         lat_w = width // self.vae_cfg.spatial_factor
         t_img = (lat_h // 2) * (lat_w // 2)
 
-        key = jax.random.PRNGKey(seed)
-        key_noise, key_vae, key_steps = jax.random.split(key, 3)
-        cond = self._prepare_cond(self.vae_params, img, mask, key_vae)
-        latents = jax.random.normal(
-            key_noise, (b, t_img, self.vae_cfg.latent_channels * 4), jnp.float32
-        ).astype(dtype)
-        if mesh is not None:
+        # per-sample RNG streams, mirroring __call__'s split(key, 3)
+        per = [jax.random.split(jax.random.PRNGKey(s), 3) for s in seeds]
+        vae_keys = jnp.stack([k[1] for k in per])               # (B, 2)
+        if bspec is not None:
+            vae_keys = jax.device_put(vae_keys, bspec)
+        cond = self._prepare_cond_batch(self.vae_params, img, mask, vae_keys)
+        latents = jnp.stack([
+            jax.random.normal(k[0], (t_img, self.vae_cfg.latent_channels * 4),
+                              jnp.float32)
+            for k in per]).astype(dtype)
+        step_keys = jnp.stack(
+            [jax.random.split(k[2], steps) for k in per], axis=1)  # (steps, B, 2)
+        if bspec is not None:
             latents = jax.device_put(latents, bspec)
 
         ids = np.concatenate(
             [packing.text_ids(txt.shape[1]), packing.latent_image_ids(lat_h, lat_w)], axis=0)
+
+        kv_len = None
+        t_pad = t_img
+        if seq_pad_multiple:
+            t_pad = -(-t_img // seq_pad_multiple) * seq_pad_multiple
+            if t_pad != t_img:
+                pad = t_pad - t_img
+                latents = jnp.pad(latents, ((0, 0), (0, pad), (0, 0)))
+                cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
+                kv_len = txt.shape[1] + t_img
+
         cos, sin = self._rope_tables(ids)
         sigmas = samplers.make_schedule(
             steps, t_img, base_seq_len=cfgp.base_image_seq_len,
@@ -393,7 +443,9 @@ class FillPipeline:
         latents = self._denoise(
             self.flux_params, latents, cond, txt, pooled,
             jnp.asarray(sigmas), guidance, jnp.asarray(cos), jnp.asarray(sin),
-            jax.random.split(key_steps, steps), sampler, float(cfgp.overshoot_c))
+            step_keys, sampler, float(overshoot_c), kv_len)
+        if t_pad != t_img:
+            latents = latents[:, :t_img]
         images_out = self._decode(self.vae_params, latents, lat_h, lat_w)
         return improc.postprocess_image(np.asarray(images_out.astype(jnp.float32)))
 
