@@ -41,7 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--lora-rank", type=int, default=128)
     p.add_argument("--lora-alpha", type=float, default=128.0)
     p.add_argument("--learning-rate", type=float, default=2e-5)
-    p.add_argument("--optimizer", choices=["adamw", "prodigy"], default="adamw")
+    p.add_argument("--optimizer", choices=["adamw", "adamw8bit", "prodigy"],
+                   default="adamw")
+    p.add_argument("--use-8bit-adam", action="store_true",
+                   help="int8 blockwise Adam moments (reference --use_8bit_adam)")
     p.add_argument("--lr-scheduler", choices=["constant", "cosine", "linear"],
                    default="constant")
     p.add_argument("--lr-warmup-steps", type=int, default=0)
@@ -128,7 +131,7 @@ def main(argv=None):
 
     tc = TR.TrainConfig(
         learning_rate=args.learning_rate,
-        optimizer=args.optimizer,
+        optimizer="adamw8bit" if args.use_8bit_adam else args.optimizer,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,

@@ -36,7 +36,7 @@ class TrainConfig:
     """Defaults mirror scripts/train.sh + parser_helper.py."""
 
     learning_rate: float = 2e-5
-    optimizer: str = "adamw"              # "adamw" | "prodigy" (train_lora.sh: lr 1)
+    optimizer: str = "adamw"              # "adamw" | "adamw8bit" | "prodigy" (train_lora.sh: lr 1)
     lr_scheduler: str = "constant"        # "constant" | "cosine" | "linear"
     lr_warmup_steps: int = 0
     max_train_steps: int = 10000
@@ -182,6 +182,13 @@ def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
         inner = optax.contrib.prodigy(
             learning_rate=lr, betas=(tc.adam_b1, tc.adam_b2),
             weight_decay=tc.weight_decay)
+    elif tc.optimizer == "adamw8bit":
+        # reference default for full-param training: bitsandbytes AdamW8bit
+        # (scripts/train.py:723-741); int8 blockwise moment state
+        from textflux_tpu.training.optim8bit import adamw8bit
+
+        inner = adamw8bit(lr, b1=tc.adam_b1, b2=tc.adam_b2,
+                          eps=tc.adam_eps, weight_decay=tc.weight_decay)
     else:
         inner = optax.adamw(lr, b1=tc.adam_b1, b2=tc.adam_b2,
                             eps=tc.adam_eps, weight_decay=tc.weight_decay)
