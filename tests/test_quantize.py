@@ -68,3 +68,32 @@ def test_full_model_quantized_output_close(rng):
     # int8 weight quantization noise, should stay well-correlated
     err = np.abs(np.asarray(out) - np.asarray(ref))
     assert err.mean() < 0.05 * np.abs(np.asarray(ref)).mean() + 0.05
+
+
+def test_full_width_int8_divergence_bounded(rng):
+    """Serving-quality bound at FULL FLUX width (hidden 3072, 24h x 128d):
+    weight-only int8 must stay within 2% relative velocity error of bf16
+    through a 1-double + 1-single stack — measured 0.80%, vs bf16's own
+    0.52% rounding error against fp32 (ARCHITECTURE.md int8 quality table)."""
+    from textflux_tpu.config import FluxConfig
+
+    cfg = FluxConfig(num_double_layers=1, num_single_layers=1)
+    params32 = init_flux_params(jax.random.PRNGKey(0), cfg)
+    params_bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params32)
+    params_q8 = quantize_tree(params_bf)
+
+    t_txt, t_img, lat_h, lat_w = 32, 128, 16, 32
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], 0)
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.bfloat16)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.bfloat16)
+    args = (img, txt, pooled, jnp.array([0.5], jnp.bfloat16),
+            jnp.array([30.0], jnp.float32), jnp.asarray(cos), jnp.asarray(sin))
+
+    apply = jax.jit(lambda p, *a: flux_apply(p, cfg, *a, attn_impl="xla"))
+    ref = apply(params_bf, *args)
+    out = apply(params_q8, *args)
+    a, b = np.asarray(out, np.float64), np.asarray(ref, np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.02, rel
