@@ -59,3 +59,38 @@ def test_anytext_utils(tmp_path):
     assert len(items) == 1
     assert len(items[0]["annotations"]) == 1
     assert items[0]["annotations"][0]["text"] == "hi"
+
+
+def test_cli_with_inception_weights(tmp_path, rng):
+    """--inception-weights drives strict FID through the InceptionV3 port:
+    the CLI loads a locally provided torch state dict, folds BN, and reports
+    a finite FID over matched pairs."""
+    import torch
+
+    from tests.test_inception import _build_torch_fid_inception
+    from textflux_tpu.cli.eval_fid_lpips import main
+
+    torch.manual_seed(0)
+    net = _build_torch_fid_inception()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                torch.nn.init.kaiming_normal_(m.weight, nonlinearity="relu")
+    weights = tmp_path / "inception.pth"
+    torch.save(net.state_dict(), weights)
+
+    gt, gen = tmp_path / "gt", tmp_path / "gen"
+    gt.mkdir(), gen.mkdir()
+    for i in range(3):
+        arr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        Image.fromarray(arr).save(gt / f"{i}.png")
+        Image.fromarray(255 - arr).save(gen / f"{i}.png")
+
+    log_dir = tmp_path / "log"
+    main(["--gt-dir", str(gt), "--gen-dir", str(gen),
+          "--inception-weights", str(weights), "--log-dir", str(log_dir)])
+    logs = list(log_dir.glob("*.log"))
+    assert logs
+    last = logs[0].read_text().strip().splitlines()[-1]
+    results = json.loads(last)
+    assert results["pairs"] == 3 and np.isfinite(results["fid"])

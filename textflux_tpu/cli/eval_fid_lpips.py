@@ -7,8 +7,13 @@ locally provided weights file, and a tee-style logger.
 Usage:
   python -m textflux_tpu.cli.eval_fid_lpips \
       --gt-dir gt/ --gen-dir out/cropped_images --log-dir eval_log \
-      [--fid-extractor pkg.module:callable] [--lpips-weights lpips_alex.pt]
-      [--resize 299]
+      [--inception-weights pt_inception.pth] [--lpips-weights lpips_alex.pt]
+      [--fid-extractor pkg.module:callable] [--resize 299]
+
+--inception-weights points at a locally provided torch InceptionV3 state dict
+(torchvision inception_v3 or pytorch_fid's FIDInceptionV3 file) and enables
+strict-parity FID via the JAX port in evaluation/inception.py;
+--fid-extractor remains the escape hatch for any custom feature extractor.
 """
 
 from __future__ import annotations
@@ -78,17 +83,19 @@ def compute_fid(pairs, extractor, size: int = 299) -> float:
     return fid_from_images(real, fake, extractor)
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description="textflux-tpu FID/LPIPS harness")
     p.add_argument("--gt-dir", required=True)
     p.add_argument("--gen-dir", required=True)
     p.add_argument("--log-dir", default=None)
+    p.add_argument("--inception-weights", default=None,
+                   help="torch InceptionV3 state dict (.pth) for strict FID")
     p.add_argument("--fid-extractor", default=None,
                    help="module:callable mapping (N,H,W,3) [-1,1] -> (N,D) features")
     p.add_argument("--lpips-weights", default=None,
                    help="torch lpips.LPIPS(net='alex') state dict (.pt)")
     p.add_argument("--resize", type=int, default=299)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     log = TeeLogger(os.path.join(args.log_dir, f"eval_{int(time.time())}.log")
                     if args.log_dir else None)
@@ -98,9 +105,15 @@ def main():
         sys.exit("no filename-matched pairs between the two directories")
 
     results = {"pairs": len(pairs)}
-    if args.fid_extractor:
+    extractor = None
+    if args.inception_weights:
+        from textflux_tpu.evaluation.inception import load_inception_extractor
+
+        extractor = load_inception_extractor(args.inception_weights)
+    elif args.fid_extractor:
         mod, _, attr = args.fid_extractor.partition(":")
         extractor = getattr(importlib.import_module(mod), attr or "extract")
+    if extractor is not None:
         results["fid"] = compute_fid(pairs, extractor, args.resize)
         log(f"FID: {results['fid']:.4f}")
     if args.lpips_weights:

@@ -3,8 +3,9 @@
 The reference shells out to `pytorch_fid` and runs the LPIPS package
 (eval/eval_fid_lpips.py:75-184); neither ships feature weights offline here,
 so this module provides the distribution math plus a pluggable feature
-extractor protocol — any callable images -> (N, D) features (an InceptionV3
-port with locally provided weights slots in for strict FID parity).
+extractor protocol — any callable images -> (N, D) features. For strict FID
+parity use textflux_tpu.evaluation.inception (the pytorch_fid InceptionV3
+graph in JAX, pool3 features, loading locally provided torch weights).
 """
 
 from __future__ import annotations
