@@ -52,3 +52,38 @@ def test_demo_custom_beta_multiline(pipe, scene):
         pipe, original, drawn, "one\ntwo", steps=1, seed=0, sampler="euler")
     # stacked strips: 2 * min(96//6, 64/2) = 2*16
     assert strip.size == (96, 32)
+
+
+def test_ui_click_callbacks_match_wiring(pipe, rng):
+    """gradio isn't installable here (UI pinned to SUPPORTED_GRADIO 3.x);
+    assert the click callbacks build_ui wires accept exactly the component
+    lists it passes and produce images, so the Blocks layer only depends on
+    the pinned gr API, not on callback arity."""
+    import inspect
+
+    from textflux_tpu.cli.demo import (
+        SUPPORTED_GRADIO,
+        _custom_click,
+        _normal_click,
+        demo_custom_beta,
+    )
+
+    assert SUPPORTED_GRADIO.startswith("3.")
+
+    cb = _custom_click(pipe, demo_custom_beta)
+    # [original, words, steps, guidance, seed, overshoot_c] — 6 components
+    assert len(inspect.signature(cb).parameters) == 6
+    original = Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    drawn = np.array(original).copy()
+    drawn[20:40, 10:50] = 255
+    sketch = {"image": original, "mask": Image.fromarray(drawn)}
+    out = cb(sketch, "hi", 1, 7.0, 0, 2.0)
+    assert out.size[0] == 64
+
+    cb2 = _normal_click(pipe)
+    # [combined, cmask, words2] — 3 components
+    assert len(inspect.signature(cb2).parameters) == 3
+    combined = Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    mask = Image.fromarray((rng.random((64, 64)) > 0.8).astype(np.uint8) * 255)
+    out2 = cb2(combined, mask, "word")
+    assert out2.size == (64, 64)

@@ -107,8 +107,30 @@ def demo_custom_beta(pipe, original: Image.Image, drawn, words_text: str,
     return crop_singleline_result(result, original.size[1], strip_h), result, strip
 
 
+# The Blocks layer targets gradio 3.x (pinned: 3.50.1, the reference's
+# version — demo.py uses the 3.x sketch-tool API `gr.Image(tool="sketch")`,
+# removed in gradio 4). The callbacks below are version-independent.
+SUPPORTED_GRADIO = "3.50.1"
+
+
+def _custom_click(pipe, custom_fn):
+    """The Custom-tab click callback build_ui wires: (sketch dict, words,
+    steps, guidance, seed, overshoot_c) -> cropped result."""
+    def cb(img, w, s, g, sd, c):
+        return custom_fn(pipe, img["image"], img, w, int(s), float(g),
+                         int(sd), overshoot_c=float(c))[0]
+    return cb
+
+
+def _normal_click(pipe):
+    """The Normal-tab click callback: (combined, mask, words) -> result."""
+    def cb(a, b, w):
+        return demo_normal(pipe, a, b, w)
+    return cb
+
+
 def build_ui(pipe, *, beta: bool = False):
-    """Construct the gradio Blocks app (requires gradio)."""
+    """Construct the gradio Blocks app (requires gradio, see SUPPORTED_GRADIO)."""
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -130,20 +152,15 @@ def build_ui(pipe, *, beta: bool = False):
             oc = gr.Slider(0, 10, value=2.0, label="Overshoot c (AMO sampler)")
             out = gr.Image(label="Result (cropped)")
             run = gr.Button("Generate")
-            run.click(
-                lambda img, w, s, g, sd, c: custom_fn(pipe, img["image"], img, w,
-                                                      int(s), float(g), int(sd),
-                                                      overshoot_c=float(c))[0],
-                [original, words, steps, guidance, seed, oc], out)
+            run.click(_custom_click(pipe, custom_fn),
+                      [original, words, steps, guidance, seed, oc], out)
         with gr.Tab("Normal Mode"):
             combined = gr.Image(type="pil", label="Combined image")
             cmask = gr.Image(type="pil", label="Combined mask")
             words2 = gr.Textbox(lines=3, label="Words")
             out2 = gr.Image(label="Result")
             run2 = gr.Button("Generate")
-            run2.click(
-                lambda a, b, w: demo_normal(pipe, a, b, w),
-                [combined, cmask, words2], out2)
+            run2.click(_normal_click(pipe), [combined, cmask, words2], out2)
     return app
 
 
