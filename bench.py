@@ -1,13 +1,16 @@
 """Headline benchmark: seconds/image for TextFlux-beta-style single-line 512px
 inference (30 denoise steps, 592x512 concat canvas) on one TPU chip.
 
-Primary path: the FULL 19+38-block DiT in weight-only int8 (11.1 GiB — the
-single-chip serving configuration) measured directly, plus VAE encode+decode
-and text encoders. Fallback (OOM / non-TPU): full-width reduced-depth bf16
-models extrapolated linearly over depth (exact under lax.scan).
+Primary path: the FULL 19+38-block DiT in int8 W8A8 (int8 weights AND
+per-token int8 activations on the int8 MXU — the fast single-chip serving
+configuration, quality table in ARCHITECTURE.md) measured directly, plus the
+weight-only int8 step (best-quality int8 config), VAE encode+decode and text
+encoders. Fallback (OOM / non-TPU): full-width reduced-depth bf16 models
+extrapolated linearly over depth (exact under lax.scan).
 
 All timing uses the slope method (tunnel-safe; see
 textflux_tpu.utils.benchmarking — block_until_ready resolves early here).
+MFU is computed against the matmul+attention FLOP count of the real step.
 
 Baseline: TextFlux-beta 10.9 s/img (reference README.md:82, hardware unstated).
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
@@ -33,21 +36,23 @@ def zeros_like_tree(tree_shape):
     return jax.tree.map(lambda sd: jnp.zeros(sd.shape, sd.dtype), tree_shape)
 
 
-def _zero_params(cfg, quantize: bool):
-    """Timing-equivalent zero weights in bf16 or weight-only int8 layout."""
+def _zero_params(cfg, quantize):
+    """Timing-equivalent zero weights: bf16 (quantize=False), weight-only int8
+    ("weight_only") or int8-activation ("w8a8") layouts."""
     import jax
     import jax.numpy as jnp
 
     from textflux_tpu.models.transformer import init_flux_params
 
     shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+    qkey = {"weight_only": "w_q", "w8a8": "w_q8a8", True: "w_q"}.get(quantize)
 
     def build(tree):
         out = {}
         for k, v in tree.items():
             if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 \
-                    and (quantize and v["w"].size >= (1 << 16)):
-                q = {"w_q": jnp.zeros(v["w"].shape, jnp.int8),
+                    and (qkey and v["w"].size >= (1 << 16)):
+                q = {qkey: jnp.zeros(v["w"].shape, jnp.int8),
                      "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],),
                                        1e-2, jnp.float32)}
                 if "b" in v:
@@ -60,6 +65,19 @@ def _zero_params(cfg, quantize: bool):
         return out
 
     return build(shapes)
+
+
+def step_flops(cfg, t_img: int, t_txt: int) -> float:
+    """Matmul + attention FLOPs of one full DiT step at batch 1 (the MFU
+    denominator). Every token passes one stream of each double block and the
+    whole single block: 24*D^2 matmul FLOPs per token per block either way."""
+    d = cfg.hidden_dim
+    s = t_img + t_txt
+    blocks = cfg.num_double_layers + cfg.num_single_layers
+    matmul = 24.0 * d * d * s * blocks
+    attn = 4.0 * s * s * d * blocks
+    mods = 24.0 * d * d * cfg.num_double_layers + 6.0 * d * d * cfg.num_single_layers
+    return matmul + attn + mods
 
 
 def _bench_step(cfg, params, t_img, t_txt, attn_impl):
@@ -95,11 +113,11 @@ def _bench_step(cfg, params, t_img, t_txt, attn_impl):
                      lat0, iters_hi=8, iters_lo=2, repeats=2)
 
 
-def bench_transformer_full_int8(t_img, t_txt, attn_impl):
+def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only"):
     from textflux_tpu.config import FluxConfig
 
     cfg = FluxConfig()
-    params = _zero_params(cfg, quantize=True)
+    params = _zero_params(cfg, quantize=mode)
     t = _bench_step(cfg, params, t_img, t_txt, attn_impl)
     del params
     gc.collect()
@@ -205,10 +223,14 @@ def main():
     t_img = (lat_h // 2) * (lat_w // 2)
     attn = "fused" if backend == "tpu" else "xla"
 
-    mode = "full_int8_direct"
+    from textflux_tpu.config import FluxConfig
+
+    mode = "full_w8a8_direct"
     extra = {}
     try:
-        t_step = bench_transformer_full_int8(t_img, T_TXT, attn)
+        t_step = bench_transformer_full_int8(t_img, T_TXT, attn, mode="w8a8")
+        extra["transformer_step_weight_only_s"] = round(
+            bench_transformer_full_int8(t_img, T_TXT, attn, mode="weight_only"), 5)
     except Exception as e:  # OOM or non-TPU: fall back to depth extrapolation
         mode = f"bf16_depth_extrapolated ({type(e).__name__})"
         t_step, times = bench_transformer_extrapolated(t_img, T_TXT, attn)
@@ -216,6 +238,12 @@ def main():
 
     t_vae = bench_vae_roundtrip()
     t_t5, t_clip = bench_text_encoders()
+
+    flops = step_flops(FluxConfig(), t_img, T_TXT)
+    tflops = flops / t_step / 1e12
+    # v5e peaks: 197 TFLOP/s bf16, 394 TOPS int8 (attention stays bf16, so
+    # the int8-peak fraction understates true utilization slightly)
+    peak = 394.0 if mode == "full_w8a8_direct" else 197.0
 
     s_per_img = STEPS * t_step + t_vae + t_t5 + t_clip
     result = {
@@ -227,13 +255,15 @@ def main():
         "breakdown": {
             "mode": mode,
             "transformer_step_s": round(t_step, 5),
+            "step_effective_tflops": round(tflops, 1),
+            "step_mfu_pct": round(100.0 * tflops / peak, 1),
             "vae_roundtrip_s": round(t_vae, 5),
             "t5_xxl_512tok_s": round(t_t5, 5),
             "clip_s": round(t_clip, 5),
             "joint_seq_len": t_img + T_TXT,
             **extra,
         },
-        "note": "full 19+38 DiT, weight-only int8 (11.1GiB, single-chip serving config), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent)",
+        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound (B=8 measured 123.8 ms/img vs 116.0 at B=1).",
     }
     print(json.dumps(result))
 

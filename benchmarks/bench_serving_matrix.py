@@ -1,0 +1,75 @@
+"""Serving-config matrix on one TPU chip: full 19+38 DiT step time for
+weight-only int8 vs W8A8 at batch 1/4/8 (recorded in ARCHITECTURE.md).
+
+Run on the target chip: python benchmarks/bench_serving_matrix.py
+"""
+import gc
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+import jax, jax.numpy as jnp
+
+from textflux_tpu.config import FluxConfig
+from textflux_tpu.models.transformer import flux_apply
+from textflux_tpu.ops import packing, samplers
+from textflux_tpu.ops.rope import rope_tables_half
+from textflux_tpu.utils.benchmarking import time_step
+
+print("backend:", jax.default_backend())
+
+def zero_params(cfg, mode):
+    from textflux_tpu.models.transformer import init_flux_params
+
+    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+    key = {"weight_only": "w_q", "w8a8": "w_q8a8"}[mode]
+    def build(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16):
+                q = {key: jnp.zeros(v["w"].shape, jnp.int8),
+                     "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
+                if "b" in v:
+                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
+                out[k] = q
+            elif isinstance(v, dict):
+                out[k] = build(v)
+            else:
+                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
+        return out
+    return build(shapes)
+
+HEIGHT, WIDTH, T_TXT = 592, 512, 512
+lat_h, lat_w = HEIGHT // 8, WIDTH // 8
+t_img = (lat_h // 2) * (lat_w // 2)
+cfg = FluxConfig()
+ids = np.concatenate([packing.text_ids(T_TXT), packing.latent_image_ids(lat_h, lat_w)], 0)
+cos, sin = rope_tables_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
+cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+def bench(mode, batch):
+    params = zero_params(cfg, mode)
+    cond = jnp.zeros((batch, t_img, cfg.in_channels - 64), jnp.bfloat16)
+    txt = jnp.zeros((batch, T_TXT, cfg.joint_dim), jnp.bfloat16)
+    pooled = jnp.zeros((batch, cfg.pooled_dim), jnp.bfloat16)
+    guidance = jnp.full((batch,), 30.0, jnp.float32)
+    def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
+        v = flux_apply(params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
+                       jnp.full((batch,), 0.5, jnp.bfloat16), guidance, cos, sin,
+                       attn_impl="fused")
+        return samplers.euler_step(lat, v, 0.5, 0.45)
+    jitted = jax.jit(step_fn)
+    lat0 = jnp.zeros((batch, t_img, 64), jnp.bfloat16)
+    t = time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
+                  lat0, iters_hi=8, iters_lo=2, repeats=2)
+    del params
+    gc.collect()
+    return t
+
+for mode in ("weight_only", "w8a8"):
+    for batch in (1, 4, 8):
+        try:
+            t = bench(mode, batch)
+            print(f"mode={mode:12s} B={batch}: step={t*1000:8.2f} ms  per-img={t*1000/batch:8.2f} ms  30-step s/img={30*t/batch:6.3f}")
+        except Exception as e:
+            print(f"mode={mode:12s} B={batch}: FAILED {type(e).__name__}: {str(e)[:200]}")

@@ -166,3 +166,39 @@ def test_backward_kernels_kv_len(rng):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk[:, :real]), np.asarray(dk_ref[:, :real]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv[:, :real]), np.asarray(dv_ref[:, :real]), atol=2e-4)
+
+
+def test_gradients_above_crossover_use_pallas_bwd(rng, monkeypatch):
+    """S > the measured crossover takes the pallas backward branch of the
+    custom VJP (ops/attention.py); verify that branch is actually hit and its
+    grads match autodiff through the XLA reference at that scale."""
+    import jax
+    import numpy as np
+    from textflux_tpu.ops import attention as A
+    from textflux_tpu.ops import flash_attention as FA
+
+    calls = {"bwd": 0}
+    real_bwd = FA.flash_attention_bwd
+
+    def spy(*a, **kw):
+        calls["bwd"] += 1
+        return real_bwd(*a, **kw)
+
+    monkeypatch.setattr(FA, "flash_attention_bwd", spy)
+
+    b, s, h, d = 1, A.PALLAS_BWD_MIN_SEQ + 128, 1, 32
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    def f(impl):
+        def loss(q, k, v):
+            return jnp.sum(A.dot_product_attention(q, k, v, impl=impl) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g_pal = f("pallas")
+    assert calls["bwd"] == 1, "pallas backward branch was not taken"
+    g_ref = f("xla")
+    for a, b_ in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-4, rtol=1e-3)

@@ -97,3 +97,45 @@ def test_full_width_int8_divergence_bounded(rng):
     a, b = np.asarray(out, np.float64), np.asarray(ref, np.float64)
     rel = np.linalg.norm(a - b) / np.linalg.norm(b)
     assert rel < 0.02, rel
+
+
+def test_dense_w8a8_matches_float(rng):
+    """w8a8 path: per-token int8 activations x int8 weights with int32
+    accumulation matches the float matmul within combined quant noise."""
+    from textflux_tpu.io.quantize import quantize_dense
+
+    p = {"w": jnp.asarray(rng.standard_normal((256, 128)), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal(128), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((4, 10, 256)), jnp.float32)
+    ref = np.asarray(dense(p, x))
+    out = np.asarray(dense(quantize_dense(p, mode="w8a8"), x))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel
+
+
+def test_full_width_w8a8_divergence_bounded(rng):
+    """W8A8 (int8 MXU serving mode) at full FLUX width: velocity error vs the
+    fp32 stack stays below 3% — measured 1.39% (weight-only: 0.80%, bf16
+    floor: 0.54%); ARCHITECTURE.md int8 quality table."""
+    from textflux_tpu.config import FluxConfig
+
+    cfg = FluxConfig(num_double_layers=1, num_single_layers=1)
+    params32 = init_flux_params(jax.random.PRNGKey(0), cfg)
+    params_bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params32)
+    params_88 = quantize_tree(params_bf, mode="w8a8")
+
+    t_txt, t_img, lat_h, lat_w = 32, 128, 16, 32
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], 0)
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.bfloat16)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.bfloat16)
+    args = (img, txt, pooled, jnp.array([0.5], jnp.bfloat16),
+            jnp.array([30.0], jnp.float32), jnp.asarray(cos), jnp.asarray(sin))
+
+    apply = jax.jit(lambda p, *a: flux_apply(p, cfg, *a, attn_impl="xla"))
+    ref = apply(params_bf, *args)
+    out = apply(params_88, *args)
+    a, b = np.asarray(out, np.float64), np.asarray(ref, np.float64)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 0.03, rel

@@ -175,7 +175,11 @@ def main(argv=None):
                    help="dp,fsdp,tp — shard the DiT + data-shard batches "
                         "(TPU-native replacement for the per-GPU eval farm)")
     p.add_argument("--quantize", action="store_true",
-                   help="weight-only int8 DiT (fits 12B on one 16GB chip)")
+                   help="int8 DiT (fits 12B on one 16GB chip)")
+    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8"],
+                   default="weight_only",
+                   help="weight_only: dequant into bf16 matmuls (best quality); "
+                        "w8a8: int8 MXU matmuls (~1.4x faster step)")
     p.add_argument("--seq-pad-multiple", type=int, default=256,
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
     args = p.parse_args(argv)
@@ -194,7 +198,7 @@ def main(argv=None):
 
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize, mesh=mesh)
+        quantize=args.quantize_mode if args.quantize else False, mesh=mesh)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     font = load_font(args.font, 60)
 

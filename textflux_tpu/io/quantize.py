@@ -16,13 +16,20 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_dense(p: dict) -> dict:
-    """{'w': (..., in, out), 'b'?} -> {'w_q': int8, 'scale': (..., out), 'b'?}."""
+def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
+    """{'w': (..., in, out), 'b'?} -> int8 leaf dict.
+
+    mode "weight_only": {'w_q', 'scale', 'b'?} — dequant-on-read into bf16
+    matmuls (halves weight HBM traffic; quality table in ARCHITECTURE.md).
+    mode "w8a8": {'w_q8a8', 'scale', 'b'?} — layers.dense additionally
+    quantizes activations per token and runs the matmul on the int8 MXU
+    (2x bf16 peak on v5e)."""
     w = jnp.asarray(p["w"], jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2)                      # (..., out)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
-    out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
+    key = "w_q8a8" if mode == "w8a8" else "w_q"
+    out = {key: w_q, "scale": scale.astype(jnp.float32)}
     if "b" in p:
         out["b"] = p["b"]
     return out
@@ -32,14 +39,14 @@ def _is_dense(p) -> bool:
     return isinstance(p, dict) and "w" in p and getattr(p["w"], "ndim", 0) >= 2
 
 
-def quantize_tree(params, *, min_size: int = 1 << 16):
+def quantize_tree(params, *, min_size: int = 1 << 16, mode: str = "weight_only"):
     """Quantize every dense leaf-dict with w.size >= min_size (small embedders
     stay bf16 — negligible memory, avoids quality risk on the conditioning
-    path). Non-dense leaves pass through."""
+    path). Non-dense leaves pass through. mode: see quantize_dense."""
 
     def rec(node):
         if _is_dense(node) and node["w"].size >= min_size:
-            return quantize_dense(node)
+            return quantize_dense(node, mode)
         if isinstance(node, dict):
             return {k: rec(v) for k, v in node.items()}
         if isinstance(node, list):
@@ -50,7 +57,8 @@ def quantize_tree(params, *, min_size: int = 1 << 16):
 
 
 def dequantize_dense(p: dict, dtype=jnp.bfloat16) -> dict:
-    w = p["w_q"].astype(jnp.float32) * p["scale"][..., None, :]
+    w_q = p["w_q"] if "w_q" in p else p["w_q8a8"]
+    w = w_q.astype(jnp.float32) * p["scale"][..., None, :]
     out = {"w": w.astype(dtype)}
     if "b" in p:
         out["b"] = p["b"]

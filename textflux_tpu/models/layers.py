@@ -24,6 +24,8 @@ def dense_init(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True, scal
 
 
 def dense(p, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q8a8" in p:
+        return _dense_w8a8(p, x)
     if "w_q" in p:
         # weight-only int8: per-output-column scales, dequant fused into the
         # matmul producer (halves weight HBM footprint/traffic)
@@ -31,6 +33,31 @@ def dense(p, x: jnp.ndarray) -> jnp.ndarray:
     else:
         w = p["w"].astype(x.dtype)
     y = x @ w
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _dense_w8a8(p, x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic per-token int8 activations x per-output-channel int8 weights,
+    accumulated in int32 on the MXU (2x bf16 peak on v5e), rescaled by
+    (act_scale * weight_scale). Weight layout: w_q8a8 (..., in, out) int8,
+    scale (..., out) fp32."""
+    w_q = p["w_q8a8"]
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    if w_q.ndim == 2:
+        lead = xq.shape[:-1]
+        acc = jax.lax.dot_general(
+            xq.reshape(-1, xq.shape[-1]), w_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(*lead, w_q.shape[-1])
+    else:
+        # stacked weights (L, in, out) against (L, ..., in) activations
+        acc = jnp.einsum("...i,...io->...o", xq, w_q,
+                         preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * p["scale"][..., None, :]
+    y = y.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -327,7 +327,7 @@ def half_permute_flux_params(params, cfg: FluxConfig):
         idx = np.concatenate([per_head, d + per_head,
                               2 * d + np.arange(d + extra_cols)])
         out = {k: v[..., idx] for k, v in p.items()
-               if k in ("w", "w_q", "scale", "b")}
+               if k in ("w", "w_q", "w_q8a8", "scale", "b")}
         return out
 
     out = dict(params)

@@ -66,12 +66,20 @@ def _flash_fwd(q, k, v, kv_len):
     return _flash_differentiable(q, k, v, kv_len), (q, k, v)
 
 
+# Backward-path crossover, set from v5e measurements (B=1, H=24, D=128,
+# bf16; fwd+bwd per call — full table in ARCHITECTURE.md):
+#   S=2048: xla-recompute 4.05 ms vs pallas 1.70 ms
+#   S=4096:              15.13 ms vs        4.37 ms
+#   S=8192:             699.26 ms vs       16.01 ms   (XLA spills the SxS scores)
+# The pallas backward kernels win from ~2k tokens and keep memory O(S); below
+# this threshold both paths are sub-millisecond and XLA-recompute avoids the
+# kernels' block-padding waste on tiny shapes.
+PALLAS_BWD_MIN_SEQ = 1024
+
+
 def _flash_bwd(kv_len, res, g):
     q, k, v = res
-    # short sequences: XLA-recompute backward is marginally faster and the
-    # (S x S) temporary is small; long sequences: the pallas backward kernels
-    # keep memory O(S) (at 8k+ tokens the XLA path materializes multi-GB scores)
-    if q.shape[1] <= 4096:
+    if q.shape[1] <= PALLAS_BWD_MIN_SEQ:
         _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=kv_len), q, k, v)
         return vjp(g)
     from textflux_tpu.ops.flash_attention import flash_attention_bwd

@@ -462,7 +462,7 @@ class FillPipeline:
         lora_path: Optional[str] = None,
         lora_scale: float = 1.0,
         dtype=jnp.bfloat16,
-        quantize: bool = False,
+        quantize: Union[bool, str] = False,
         mesh=None,
         pipe_cfg: PipelineConfig = PipelineConfig(),
         attn_impl: str = "auto",
@@ -495,10 +495,14 @@ class FillPipeline:
             flux_params = load_folded_flux_transformer(
                 t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
         if quantize:
-            # weight-only int8: fits the 12B fill DiT on a single 16GB chip
+            # int8 serving: "weight_only" (True) fits the 12B fill DiT on a
+            # single 16GB chip; "w8a8" additionally runs the matmuls on the
+            # int8 MXU (164 -> 116 ms/step on v5e, quality table in
+            # ARCHITECTURE.md)
             from textflux_tpu.io.quantize import quantize_tree
 
-            flux_params = quantize_tree(flux_params)
+            mode = quantize if isinstance(quantize, str) else "weight_only"
+            flux_params = quantize_tree(flux_params, mode=mode)
 
         vae_cfg = vae_config_from(os.path.join(base_path, "vae"))
         vae_sd = load_safetensors_dir(os.path.join(base_path, "vae"))
