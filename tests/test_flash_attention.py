@@ -202,3 +202,24 @@ def test_gradients_above_crossover_use_pallas_bwd(rng, monkeypatch):
     for a, b_ in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_kv_streaming_long_seq(rng):
+    """S > 4096 takes the chunked path (n_chunks > 1): K/V stream through
+    VMEM in 4096-token chunks with scratch-carried running stats — the fix
+    for the S=16384 compile failure (VMEM held the whole key sequence)."""
+    import numpy as np
+    from textflux_tpu.ops.attention import _xla_attention
+    from textflux_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 1, 4224, 1, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    ref = np.asarray(_xla_attention(q, k, v))
+    out = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+    # masked keys across the chunk boundary
+    ref_m = np.asarray(_xla_attention(q, k, v, kv_len=4100))
+    out_m = np.asarray(flash_attention(q, k, v, kv_len=4100))
+    np.testing.assert_allclose(out_m, ref_m, atol=2e-4)

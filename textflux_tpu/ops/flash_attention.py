@@ -23,15 +23,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  block_k: int, kv_len: int, scale: float, n_chunks: int):
+    """Hybrid flash: the innermost ('arbitrary') grid dim streams LARGE K/V
+    chunks through VMEM; inside one invocation a fori_loop walks block_k
+    sub-blocks with the running max/sum/acc in REGISTERS, touching the VMEM
+    scratch only once per chunk. At n_chunks == 1 this is the classic
+    single-pass kernel; VMEM use is O(block_q*D + kv_chunk*D), independent of
+    total sequence length."""
+    # n_chunks == 1 compiles a 3-dim grid (no chunk dim, no scratch traffic —
+    # the classic single-pass kernel); > 1 adds the innermost 'arbitrary' dim
+    ic = pl.program_id(3) if n_chunks > 1 else 0
     q = q_ref[0, 0].astype(jnp.float32) * scale          # (Bq, D)
-    seq_padded = k_ref.shape[2]
-    nk = seq_padded // block_k
     bq, d = q.shape
+    kv_chunk = k_ref.shape[2]
+    base = ic * kv_chunk
 
-    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    if n_chunks > 1:                                     # static branch
+        @pl.when(ic == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def body(i, carry):
         m, l, acc = carry
@@ -42,7 +55,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (Bq, Bk)
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        col = base + i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
         s = jnp.where(col < kv_len, s, -1e30)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -57,9 +71,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    if n_chunks == 1:
+        # single-pass: carries live purely in registers, scratch untouched
+        carry0 = (jnp.full((bq, 1), -1e30, jnp.float32),
+                  jnp.zeros((bq, 1), jnp.float32),
+                  jnp.zeros((bq, d), jnp.float32))
+        m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    carry0 = (m_scr[:, :1], l_scr[:, :1], acc_scr[...])
+    m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+
+    @pl.when(ic == n_chunks - 1)
+    def _finish():
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(ic < n_chunks - 1)
+    def _carry():
+        m_scr[...] = jnp.broadcast_to(m, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l, l_scr.shape)
+        acc_scr[...] = acc
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -104,23 +136,44 @@ def flash_attention(
     vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
     sq, sk = qt.shape[2], kt.shape[2]
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=kv_len, scale=scale)
+    # chunk of keys resident in VMEM per grid step: whole (padded) sequence
+    # up to 4096 tokens, streamed in 4096-token chunks beyond that
+    kv_chunk = min(sk, 4096)
+    sk_pad = -(-sk // kv_chunk) * kv_chunk
+    if sk_pad != sk:
+        kt = _pad_to(kt, 2, kv_chunk)
+        vt = _pad_to(vt, 2, kv_chunk)
+        sk = sk_pad
+    n_chunks = sk // kv_chunk
+    kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=kv_len,
+                               scale=scale, n_chunks=n_chunks)
+    if n_chunks == 1:
+        grid = (b, h, sq // block_q)
+        q_map = lambda ib, ih, iq: (ib, ih, iq, 0)
+        kv_map = lambda ib, ih, iq: (ib, ih, 0, 0)
+        semantics = ("parallel", "parallel", "parallel")
+    else:
+        grid = (b, h, sq // block_q, n_chunks)
+        q_map = lambda ib, ih, iq, ic: (ib, ih, iq, 0)
+        kv_map = lambda ib, ih, iq, ic: (ib, ih, ic, 0)
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
     out = pl.pallas_call(
         kernel,
-        grid=(b, h, sq // block_q),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, d), lambda ib, ih, iq: (ib, ih, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, d), lambda ib, ih, iq: (ib, ih, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_chunk, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kv_chunk, d), kv_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda ib, ih, iq: (ib, ih, iq, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),     # output accumulator
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq * sk * d,
