@@ -223,3 +223,32 @@ def test_chunked_kv_streaming_long_seq(rng):
     ref_m = np.asarray(_xla_attention(q, k, v, kv_len=4100))
     out_m = np.asarray(flash_attention(q, k, v, kv_len=4100))
     np.testing.assert_allclose(out_m, ref_m, atol=2e-4)
+
+
+def test_fused_chunked_long_seq(rng):
+    """Fused norm+rope+flash past the 2048-token chunk boundary (n_chunks>1),
+    with sequence-segmented k scales (the double-stream txt/img case)."""
+    import numpy as np
+    from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
+    from textflux_tpu.ops.attention import _xla_attention
+
+    b, s, h, d = 1, 2176, 1, 128
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    cos = jnp.asarray(rng.uniform(-1, 1, (s, d)), jnp.float32)
+    sin = jnp.asarray(rng.uniform(-1, 1, (s, d)), jnp.float32)
+    qs = jnp.asarray(rng.uniform(0.5, 1.5, (d,)), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.5, 1.5, (s, d)), jnp.float32)
+
+    def norm_rope(x, scale_rows):
+        var = jnp.mean(x.astype(jnp.float32) ** 2, -1, keepdims=True)
+        xn = x * jax.lax.rsqrt(var + 1e-6) * scale_rows[None, :, None, :]
+        rot = jnp.concatenate([-xn[..., d // 2:], xn[..., : d // 2]], -1)
+        return xn * cos[None, :, None, :] + rot * sin[None, :, None, :]
+
+    import jax
+    ref = _xla_attention(norm_rope(q, jnp.broadcast_to(qs, (s, d))),
+                         norm_rope(k, ks), v, kv_len=2100)
+    out = flash_attention_qk_norm_rope(q, k, v, cos, sin, qs, ks, kv_len=2100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)

@@ -124,3 +124,45 @@ def test_prodigy_and_schedules(rng):
                                                lr_warmup_steps=5, max_train_steps=20))
     assert float(sched(0)) == 0.0
     assert float(sched(5)) == pytest.approx(2e-5, rel=1e-5)
+
+
+def test_trainable_leaves_stop_gradient_parity():
+    """make_train_step(trainable_leaves=...) skips frozen weight-grad matmuls
+    via stop_gradient; resulting params/loss must be identical to the full
+    backward (frozen grads were masked to zero anyway)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tests.helpers import FLUX_TINY, VAE_TINY
+    from textflux_tpu.models.transformer import init_flux_params
+    from textflux_tpu.models.vae import init_vae_params
+    from textflux_tpu.training import train as TR
+
+    tc = TR.TrainConfig(grad_accum=2, excluded_single_layers=())
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    mask = TR.attn_only_mask(params, FLUX_TINY, tc)
+    tx = TR.make_optimizer(tc, mask)
+    trainable = jax.tree.map(TR.np_any_trainable, mask)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal((2, 1, 32, 32, 3)), jnp.float32),
+        "mask": jnp.asarray((rng.random((2, 1, 32, 32)) > 0.8), jnp.float32),
+        "txt": jnp.asarray(rng.standard_normal((2, 1, 6, 32)), jnp.float32),
+        "pooled": jnp.asarray(rng.standard_normal((2, 1, 16)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def run(step):
+        opt_state = tx.init(params)
+        p, _, metrics = jax.jit(step)(params, opt_state, mask, vae_params, batch, key)
+        return p, float(metrics["loss"])
+
+    p_full, l_full = run(TR.make_train_step(FLUX_TINY, VAE_TINY, tc, tx, attn_impl="xla"))
+    p_fast, l_fast = run(TR.make_train_step(FLUX_TINY, VAE_TINY, tc, tx, attn_impl="xla",
+                                            trainable_leaves=trainable))
+    assert l_full == l_fast
+    for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_fast)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -185,7 +185,10 @@ def main(argv=None):
                     else TR.all_trainable_mask(params))
             tx = TR.make_optimizer(tc, mask)
             opt_state = tx.init(params)
-            step_fn = jax.jit(TR.make_train_step(flux_cfg, vae_cfg, tc, tx))
+            import jax as _jax
+            trainable = _jax.tree.map(TR.np_any_trainable, mask)
+            step_fn = jax.jit(TR.make_train_step(
+                flux_cfg, vae_cfg, tc, tx, trainable_leaves=trainable))
             state = {"params": params, "opt_state": opt_state, "step": 0}
 
         if args.resume_from_checkpoint:

@@ -113,10 +113,11 @@ def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.nda
     return layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
 
 
-# beyond this joint sequence length the fused kernel's VMEM working set
-# (K/V + fp32 rope/scale tables) no longer fits; fall back to the unfused
-# flash kernel (same permuted weights + rotate-half tables, applied outside)
-FUSED_MAX_SEQ = 6144
+# safety valve: beyond this joint sequence length fall back to the unfused
+# flash kernel (same permuted weights + rotate-half tables, applied outside).
+# The fused kernel streams K/V + tables in 2048-token chunks, so its VMEM use
+# is sequence-length independent; this bound only caps untested extremes.
+FUSED_MAX_SEQ = 32768
 
 
 def _apply_rope_half_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:

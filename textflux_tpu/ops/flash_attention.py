@@ -365,20 +365,26 @@ def _norm_rope(x, scale_row, cos, sin, eps: float):
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                  qs_ref, ks_ref, o_ref, *, block_k: int, kv_len: int,
-                  scale: float, eps: float):
-    # refs view the (B, S, H*D) layout with a 128-wide head column slice
+                  qs_ref, ks_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  block_k: int, kv_len: int, scale: float, eps: float,
+                  n_chunks: int):
+    # refs view the (B, S, H*D) layout with a 128-wide head column slice;
+    # K/V (+ their rope/scale tables) stream in chunks when n_chunks > 1,
+    # with running stats carried in scratch (see _flash_kernel)
+    ic = pl.program_id(3) if n_chunks > 1 else 0
     bq, d = q_ref.shape[1], q_ref.shape[2]
+    kv_chunk = k_ref.shape[1]
+    base = ic * kv_chunk
     q = _norm_rope(q_ref[0].astype(jnp.float32), qs_ref[:],
                    cq_ref[:], sq_ref[:], eps) * scale
     q = q.astype(v_ref.dtype)
 
-    seq_padded = k_ref.shape[1]
-    nk = seq_padded // block_k
-
-    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
+    if n_chunks > 1:
+        @pl.when(ic == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def body(i, carry):
         m, l, acc = carry
@@ -393,7 +399,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         s = jax.lax.dot_general(
             q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        col = base + i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
         s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -405,8 +412,26 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if n_chunks == 1:
+        carry0 = (jnp.full((bq, 1), -1e30, jnp.float32),
+                  jnp.zeros((bq, 1), jnp.float32),
+                  jnp.zeros((bq, d), jnp.float32))
+        m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    carry0 = (m_scr[:, :1], l_scr[:, :1], acc_scr[...])
+    m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+
+    @pl.when(ic == n_chunks - 1)
+    def _finish():
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(ic < n_chunks - 1)
+    def _carry():
+        m_scr[...] = jnp.broadcast_to(m, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l, l_scr.shape)
+        acc_scr[...] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
@@ -464,36 +489,55 @@ def flash_attention_qk_norm_rope(
     ksp = _pad_to(k_scale.astype(jnp.float32), 0, blk)
     sp = qp.shape[1]
 
+    # chunked K/V streaming past 2048 tokens (the fp32 rope/scale tables ride
+    # along per chunk, hence the smaller chunk than plain flash_attention)
+    kv_chunk = min(sp, 2048)
+    kp = _pad_to(kp, 1, kv_chunk)
+    vp = _pad_to(vp, 1, kv_chunk)
+    cosk = _pad_to(cosp, 0, kv_chunk)
+    sink = _pad_to(sinp, 0, kv_chunk)
+    kspk = _pad_to(ksp, 0, kv_chunk)
+    n_chunks = kp.shape[1] // kv_chunk
+
     kernel = functools.partial(_fused_kernel, block_k=block_k, kv_len=kv_len,
-                               scale=scale, eps=eps)
+                               scale=scale, eps=eps, n_chunks=n_chunks)
+    if n_chunks == 1:
+        grid = (b, h, sp // block_q)
+        q3 = lambda ib, ih, iq: (ib, iq, ih)
+        qt2 = lambda ib, ih, iq: (iq, 0)
+        k3 = lambda ib, ih, iq: (ib, 0, ih)
+        kt2 = lambda ib, ih, iq: (0, 0)
+        semantics = ("parallel", "parallel", "parallel")
+    else:
+        grid = (b, h, sp // block_q, n_chunks)
+        q3 = lambda ib, ih, iq, ic: (ib, iq, ih)
+        qt2 = lambda ib, ih, iq, ic: (iq, 0)
+        k3 = lambda ib, ih, iq, ic: (ib, ic, ih)
+        kt2 = lambda ib, ih, iq, ic: (ic, 0)
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
     out = pl.pallas_call(
         kernel,
-        grid=(b, h, sp // block_q),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda ib, ih, iq: (ib, iq, ih),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, d), lambda ib, ih, iq: (ib, 0, ih),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, d), lambda ib, ih, iq: (ib, 0, ih),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, d), lambda ib, ih, iq: (iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, d), lambda ib, ih, iq: (iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sp, d), lambda ib, ih, iq: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sp, d), lambda ib, ih, iq: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, d), lambda ib, ih, iq: (iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((sp, d), lambda ib, ih, iq: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), q3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_chunk, d), k3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kv_chunk, d), k3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), qt2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), qt2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_chunk, d), kt2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_chunk, d), kt2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, d), qt2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kv_chunk, d), kt2, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda ib, ih, iq: (ib, iq, ih),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_q, d), q3, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sp * sp * d,
@@ -501,6 +545,6 @@ def flash_attention_qk_norm_rope(
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qp, kp, vp, cosp, sinp, cosp, sinp, qsp, ksp)
+    )(qp, kp, vp, cosp, sinp, cosk, sink, qsp, kspk)
 
     return out[:, :s].reshape(b, s, h, d)

@@ -282,30 +282,52 @@ def make_train_step(
     tx: Optional[optax.GradientTransformation] = None,
     *,
     attn_impl: str = "auto",
+    trainable_leaves=None,
 ):
     """Build the jittable full-parameter train step.
 
     Signature: (params, opt_state, mask, vae_params, batch, key) ->
     (params, opt_state, metrics). ``batch`` leaves carry a leading grad-accum
     axis: (A, B, ...). jit this with sharded in/out shardings for multi-chip.
+
+    trainable_leaves: optional pytree of python bools (params structure) —
+    leaves marked False get stop_gradient in the loss, so the backward pass
+    never emits their weight-grad matmuls (with the attn-only unfreeze, ~70%
+    of the 12B weight-grad compute). Build it with
+    ``jax.tree.map(np_any_trainable, mask)``. The (traced) ``mask`` argument
+    still applies the sub-tensor column masks within partially trainable
+    leaves.
     """
     tx = tx or make_optimizer(tc)
+
+    def loss_of(params, vae_params, mb, k):
+        if trainable_leaves is not None:
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, trainable_leaves)
+        return flow_matching_loss(
+            params, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
 
     def step(params, opt_state, mask, vae_params, batch, key):
         accum = batch["pixel_values"].shape[0]
 
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
-            mb, k = xs
-            loss, grads = jax.value_and_grad(flow_matching_loss)(
-                params, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss), None
+        if accum == 1:
+            # no accumulation: skip the scan and its fp32 zeros tree (a full
+            # param-sized buffer — 8.6 GB at 12B scale)
+            loss_sum, grads = jax.value_and_grad(loss_of)(
+                params, vae_params, jax.tree.map(lambda x: x[0], batch), key)
+        else:
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                mb, k = xs
+                loss, grads = jax.value_and_grad(loss_of)(params, vae_params, mb, k)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss), None
 
-        zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), params)
-        keys = jax.random.split(key, accum)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
-        grads = jax.tree.map(lambda g: g / accum, grads)
+            zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), params)
+            keys = jax.random.split(key, accum)
+            (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
+            grads = jax.tree.map(lambda g: g / accum, grads)
         grads = apply_mask(grads, mask)
 
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -338,16 +360,20 @@ def make_lora_train_step(
             return flow_matching_loss(
                 merged, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
 
-        def micro(carry, xs):
-            grads_acc, loss_acc = carry
-            mb, k = xs
-            loss, grads = jax.value_and_grad(loss_fn)(lora, mb, k)
-            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
+        if accum == 1:
+            loss_sum, grads = jax.value_and_grad(loss_fn)(
+                lora, jax.tree.map(lambda x: x[0], batch), key)
+        else:
+            def micro(carry, xs):
+                grads_acc, loss_acc = carry
+                mb, k = xs
+                loss, grads = jax.value_and_grad(loss_fn)(lora, mb, k)
+                return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss), None
 
-        zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), lora)
-        keys = jax.random.split(key, accum)
-        (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
-        grads = jax.tree.map(lambda g: g / accum, grads)
+            zeros = jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), lora)
+            keys = jax.random.split(key, accum)
+            (grads, loss_sum), _ = jax.lax.scan(micro, (zeros, jnp.zeros(())), (batch, keys))
+            grads = jax.tree.map(lambda g: g / accum, grads)
 
         updates, opt_state = tx.update(grads, opt_state, lora)
         lora = optax.apply_updates(lora, updates)

@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 
 def _run_chained(step: Callable, x0, iters: int) -> float:
+    import jax
+
     x = x0
     t0 = time.perf_counter()
     for _ in range(iters):
         x = step(x)
-    leaves = [x] if not isinstance(x, (tuple, list)) else list(x)
+    leaves = jax.tree.leaves(x)
     _ = np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
     return time.perf_counter() - t0
 
