@@ -178,7 +178,9 @@ def main(argv=None):
             lora = TR.lora_init(jax.random.PRNGKey(args.seed), params, flux_cfg, tc.lora_rank)
             tx = TR.make_optimizer(tc)
             opt_state = tx.init(lora)
-            step_fn = jax.jit(TR.make_lora_train_step(flux_cfg, vae_cfg, tc, tx))
+            # donate the lora/opt_state buffers (reassigned every step)
+            step_fn = jax.jit(TR.make_lora_train_step(flux_cfg, vae_cfg, tc, tx),
+                              donate_argnums=(1, 2))
             state = {"lora": lora, "opt_state": opt_state, "step": 0}
         else:
             mask = (TR.attn_only_mask(params, flux_cfg, tc) if args.mode == "attn"
@@ -187,8 +189,11 @@ def main(argv=None):
             opt_state = tx.init(params)
             import jax as _jax
             trainable = _jax.tree.map(TR.np_any_trainable, mask)
+            # donate params/opt_state (reassigned every step): halves the
+            # peak param-buffer footprint of the 12B step
             step_fn = jax.jit(TR.make_train_step(
-                flux_cfg, vae_cfg, tc, tx, trainable_leaves=trainable))
+                flux_cfg, vae_cfg, tc, tx, trainable_leaves=trainable),
+                donate_argnums=(0, 1))
             state = {"params": params, "opt_state": opt_state, "step": 0}
 
         if args.resume_from_checkpoint:
