@@ -252,3 +252,27 @@ def test_fused_chunked_long_seq(rng):
                          norm_rope(k, ks), v, kv_len=2100)
     out = flash_attention_qk_norm_rope(q, k, v, cos, sin, qs, ks, kv_len=2100)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+
+
+def test_backward_chunked_matches_xla_vjp(rng, monkeypatch):
+    """Chunked backward (S beyond the single-pass VMEM limit): thresholds
+    shrunk so interpret mode exercises n_chunks > 1 on all three kernels."""
+    import jax
+    from textflux_tpu.ops import flash_attention as FA
+
+    monkeypatch.setattr(FA, "BWD_SINGLE_PASS_MAX_SEQ", 128)
+    monkeypatch.setattr(FA, "BWD_CHUNK", 256)
+
+    b, s, h, d, real = 1, 640, 2, 32, 600
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, kv_len=real), q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(do)
+    dq, dk, dv = FA.flash_attention_bwd(q, k, v, do, kv_len=real,
+                                        block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dk[:, :real]), np.asarray(dk_ref[:, :real]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(dv[:, :real]), np.asarray(dv_ref[:, :real]), atol=3e-4)

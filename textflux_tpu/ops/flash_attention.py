@@ -192,46 +192,69 @@ def flash_attention(
 # Backward kernels (training): dQ / dK / dV without materializing S^2 scores
 # ---------------------------------------------------------------------------
 
-def _lse_kernel(q_ref, k_ref, l_ref, *, block_k: int, kv_len: int, scale: float):
+def _lse_kernel(q_ref, k_ref, l_ref, m_scr, l_scr, *, block_k: int,
+                kv_len: int, scale: float, n_chunks: int):
     """Row log-sum-exp of the score matrix: L_i = m_i + log sum_j e^{s_ij - m_i}.
-    Output is lane-replicated (bq, 128) so the block layout stays tile-legal."""
+    Output is lane-replicated (bq, 128) so the block layout stays tile-legal.
+    K streams in chunks (innermost 'arbitrary' grid dim) when n_chunks > 1."""
+    ic = pl.program_id(3) if n_chunks > 1 else 0
     q = q_ref[0].astype(jnp.float32) * scale
     bq = q.shape[0]
-    nk = k_ref.shape[1] // block_k
-    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
+    kv_chunk = k_ref.shape[1]
+    base = ic * kv_chunk
 
     def body(i, carry):
         m, l = carry
         kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        col = base + i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
         s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1, keepdims=True)
         return m_new, l
 
-    m, l = jax.lax.fori_loop(0, nk, body, (m0, l0))
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))
-    l_ref[0] = jnp.broadcast_to(lse, (bq, 128))
+    if n_chunks == 1:
+        m0 = jnp.full((bq, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        m, l = jax.lax.fori_loop(0, kv_chunk // block_k, body, (m0, l0))
+        l_ref[0] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), (bq, 128))
+        return
+
+    @pl.when(ic == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+
+    m, l = jax.lax.fori_loop(0, kv_chunk // block_k, body,
+                             (m_scr[:, :1], l_scr[:, :1]))
+    m_scr[...] = jnp.broadcast_to(m, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l, l_scr.shape)
+
+    @pl.when(ic == n_chunks - 1)
+    def _finish():
+        l_ref[0] = jnp.broadcast_to(m + jnp.log(jnp.maximum(l, 1e-30)), (bq, 128))
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
-               *, block_k: int, kv_len: int, scale: float):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_scr,
+               *, block_k: int, kv_len: int, scale: float, n_chunks: int):
+    ic = pl.program_id(3) if n_chunks > 1 else 0
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0][:, :1]
     dvec = dvec_ref[0][:, :1]
     bq, d = q.shape
-    nk = k_ref.shape[1] // block_k
+    kv_chunk = k_ref.shape[1]
+    base = ic * kv_chunk
 
     def body(i, acc):
         kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        col = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        col = base + i * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 1)
         p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -239,12 +262,27 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref,
         return acc + jax.lax.dot_general(ds, kb, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
-    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+    acc = jax.lax.fori_loop(0, kv_chunk // block_k, body,
+                            jnp.zeros((bq, d), jnp.float32))
+    if n_chunks == 1:
+        dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+        return
+
+    @pl.when(ic == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += acc
+
+    @pl.when(ic == n_chunks - 1)
+    def _finish():
+        dq_ref[0] = (acc_scr[...] * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
-                *, block_q: int, kv_len: int, scale: float):
+                dk_scr, dv_scr, *, block_q: int, kv_len: int, scale: float,
+                n_chunks: int):
+    ic = pl.program_id(3) if n_chunks > 1 else 0
     kb = k_ref[0].astype(jnp.float32)
     vb = v_ref[0].astype(jnp.float32)
     bk, d = kb.shape
@@ -272,8 +310,30 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
 
     dk, dv = jax.lax.fori_loop(
         0, nq, body, (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)))
-    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    if n_chunks == 1:
+        dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+        return
+
+    @pl.when(ic == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    dk_scr[...] += dk
+    dv_scr[...] += dv
+
+    @pl.when(ic == n_chunks - 1)
+    def _finish():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+# single-pass while the streamed-side arrays fit VMEM (dkv holds q+do bf16
+# plus fp32 lse/dvec lanes: ~8k is the measured ceiling), fixed-size chunks
+# beyond — enables 16k+ training sequences
+BWD_SINGLE_PASS_MAX_SEQ = 8192
+BWD_CHUNK = 2048
 
 
 def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q: int = 512,
@@ -292,26 +352,52 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q: int = 512,
     block_k = min(block_k, max(128, -(-s // 128) * 128))
     blk = max(block_q, block_k)
 
-    qp = _pad_to(q.reshape(b, s, h * d), 1, blk)
-    kp = _pad_to(k.reshape(b, s, h * d), 1, blk)
-    vp = _pad_to(v.reshape(b, s, h * d), 1, blk)
-    dop = _pad_to(do.reshape(b, s, h * d), 1, blk)
-    sp = qp.shape[1]
+    chunk = None if s <= BWD_SINGLE_PASS_MAX_SEQ else BWD_CHUNK
+    pad_to = blk if chunk is None else max(blk, chunk)
 
-    full = lambda: pl.BlockSpec((1, sp, d), lambda ib, ih, i: (ib, 0, ih),
+    qp = _pad_to(q.reshape(b, s, h * d), 1, pad_to)
+    kp = _pad_to(k.reshape(b, s, h * d), 1, pad_to)
+    vp = _pad_to(v.reshape(b, s, h * d), 1, pad_to)
+    dop = _pad_to(do.reshape(b, s, h * d), 1, pad_to)
+    sp = qp.shape[1]
+    kv_chunk = sp if chunk is None else chunk
+    n_chunks = sp // kv_chunk
+
+    if n_chunks == 1:
+        g3 = lambda fn: (lambda ib, ih, i: fn(ib, ih, i))
+        grid_tail = ()
+        semantics_tail = ()
+    else:
+        g3 = lambda fn: (lambda ib, ih, i, ic: fn(ib, ih, i))
+        grid_tail = (n_chunks,)
+        semantics_tail = ("arbitrary",)
+    # chunk-indexed variants (follow the innermost grid dim)
+    if n_chunks == 1:
+        c3 = lambda fn: (lambda ib, ih, i: fn(ib, ih, 0))
+    else:
+        c3 = lambda fn: (lambda ib, ih, i, ic: fn(ib, ih, ic))
+
+    full_c = lambda: pl.BlockSpec((1, kv_chunk, d), c3(lambda ib, ih, ic: (ib, ic, ih)),
+                                  memory_space=pltpu.VMEM)
+    qblk = lambda: pl.BlockSpec((1, block_q, d), g3(lambda ib, ih, i: (ib, i, ih)),
                                 memory_space=pltpu.VMEM)
-    qblk = lambda: pl.BlockSpec((1, block_q, d), lambda ib, ih, i: (ib, i, ih),
+    kblk = lambda: pl.BlockSpec((1, block_k, d), g3(lambda ib, ih, i: (ib, i, ih)),
                                 memory_space=pltpu.VMEM)
-    kblk = lambda: pl.BlockSpec((1, block_k, d), lambda ib, ih, i: (ib, i, ih),
-                                memory_space=pltpu.VMEM)
+    lane_scr = lambda: pltpu.VMEM((block_q, 128), jnp.float32)
+    semantics = ("parallel", "parallel", "parallel") + semantics_tail
+
     # pass 1: row log-sum-exp (lane-replicated), per (b, h)
     lse = pl.pallas_call(
-        functools.partial(_lse_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
-        grid=(b, h, sp // block_q),
-        in_specs=[qblk(), full()],
-        out_specs=pl.BlockSpec((1, block_q, 128), lambda ib, ih, i: (ib * h + ih, i, 0),
+        functools.partial(_lse_kernel, block_k=block_k, kv_len=kv_len,
+                          scale=scale, n_chunks=n_chunks),
+        grid=(b, h, sp // block_q) + grid_tail,
+        in_specs=[qblk(), full_c()],
+        out_specs=pl.BlockSpec((1, block_q, 128),
+                               g3(lambda ib, ih, i: (ib * h + ih, i, 0)),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sp, 128), jnp.float32),
+        scratch_shapes=[lane_scr(), lane_scr()],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(qp, kp)
 
@@ -319,31 +405,40 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q: int = 512,
     o = flash_attention(q, k, v, kv_len=kv_len, block_q=block_q, block_k=block_k,
                         interpret=interpret)
     dvec = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (B,S,H)
-    dvec = _pad_to(dvec.transpose(0, 2, 1).reshape(b * h, s), 1, blk)        # (B*H, Sp)
+    dvec = _pad_to(dvec.transpose(0, 2, 1).reshape(b * h, s), 1, pad_to)     # (B*H, Sp)
     dvec = jnp.broadcast_to(dvec[..., None], (b * h, sp, 128)).astype(jnp.float32)
     dvec = jnp.ascontiguousarray(dvec) if hasattr(jnp, "ascontiguousarray") else dvec
 
-    lse_spec_q = pl.BlockSpec((1, block_q, 128), lambda ib, ih, i: (ib * h + ih, i, 0),
+    lse_spec_q = pl.BlockSpec((1, block_q, 128),
+                              g3(lambda ib, ih, i: (ib * h + ih, i, 0)),
                               memory_space=pltpu.VMEM)
-    lse_spec_full = pl.BlockSpec((1, sp, 128), lambda ib, ih, i: (ib * h + ih, 0, 0),
-                                 memory_space=pltpu.VMEM)
+    lse_spec_c = pl.BlockSpec((1, kv_chunk, 128),
+                              c3(lambda ib, ih, ic: (ib * h + ih, ic, 0)),
+                              memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, block_k=block_k, kv_len=kv_len, scale=scale),
-        grid=(b, h, sp // block_q),
-        in_specs=[qblk(), full(), full(), qblk(), lse_spec_q, lse_spec_q],
+        functools.partial(_dq_kernel, block_k=block_k, kv_len=kv_len,
+                          scale=scale, n_chunks=n_chunks),
+        grid=(b, h, sp // block_q) + grid_tail,
+        in_specs=[qblk(), full_c(), full_c(), qblk(), lse_spec_q, lse_spec_q],
         out_specs=qblk(),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(qp, kp, vp, dop, lse, dvec)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, block_q=block_q, kv_len=kv_len, scale=scale),
-        grid=(b, h, sp // block_k),
-        in_specs=[full(), kblk(), kblk(), full(), lse_spec_full, lse_spec_full],
+        functools.partial(_dkv_kernel, block_q=block_q, kv_len=kv_len,
+                          scale=scale, n_chunks=n_chunks),
+        grid=(b, h, sp // block_k) + grid_tail,
+        in_specs=[full_c(), kblk(), kblk(), full_c(), lse_spec_c, lse_spec_c],
         out_specs=(kblk(), kblk()),
         out_shape=(jax.ShapeDtypeStruct(kp.shape, k.dtype),
                    jax.ShapeDtypeStruct(vp.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
         interpret=interpret,
     )(qp, kp, vp, dop, lse, dvec)
 
