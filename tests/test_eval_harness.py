@@ -130,3 +130,47 @@ def test_run_eval_cli_records_failures(monkeypatch, two_bucket_fixture, tmp_path
     assert report["done"] == 5 and report["failed"] == 1
     assert report["failures"][0]["img_name"] == "missing.png"
     assert "error" in report["failures"][0]
+
+
+def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
+    """--mesh shards the pipeline (shard_for_serving) and data-shards batches
+    over the 8-device CPU mesh; outputs match the unsharded batched run."""
+    jp, imgs, tmp = two_bucket_fixture
+    import os
+
+    from textflux_tpu.cli import run_eval as RE
+    from textflux_tpu.pipeline.fill import FillPipeline
+    from tests.helpers import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    captured = {}
+
+    def fake_from_pretrained(cls, *a, mesh=None, **k):
+        captured["mesh"] = mesh
+        if mesh is not None:
+            pipe.shard_for_serving(mesh)
+        return pipe
+
+    monkeypatch.setattr(FillPipeline, "from_pretrained",
+                        classmethod(fake_from_pretrained))
+    RE.main([
+        "--model", "unused", "--json-path", jp, "--original-images-dir", imgs,
+        "--output-dir", str(tmp / "sharded"), "--steps", "2",
+        "--batch-size", "4", "--seq-pad-multiple", "64", "--mesh", "2,2,2",
+    ])
+    assert captured["mesh"] is not None
+    report = json.loads((tmp / "sharded" / "failures.json").read_text())
+    assert report["done"] == 5 and report["failed"] == 0
+
+    pipe.mesh = None  # unshard the batch path for the comparison run
+    RE.main([
+        "--model", "unused", "--json-path", jp, "--original-images-dir", imgs,
+        "--output-dir", str(tmp / "unsharded"), "--steps", "2",
+        "--batch-size", "4", "--seq-pad-multiple", "64",
+    ])
+    names = sorted(os.listdir(tmp / "sharded" / "full_images"))
+    assert sorted(os.listdir(tmp / "unsharded" / "full_images")) == names
+    for name in names:
+        a = np.asarray(Image.open(tmp / "sharded" / "full_images" / name), np.int16)
+        b = np.asarray(Image.open(tmp / "unsharded" / "full_images" / name), np.int16)
+        np.testing.assert_allclose(a, b, atol=2, err_msg=name)

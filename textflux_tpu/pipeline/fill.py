@@ -378,6 +378,20 @@ class FillPipeline:
         if len(seeds) != b:
             raise ValueError(f"{len(seeds)} seeds for {b} images")
 
+        # mesh mode: batches data-shard over (data, fsdp) — pad ragged tails
+        # by replicating the last sample and slice the outputs back
+        b_real = b
+        mesh_pre = getattr(self, "mesh", None)
+        if mesh_pre is not None:
+            shards = mesh_pre.shape["data"] * mesh_pre.shape["fsdp"]
+            pad_n = (-b) % shards
+            if pad_n:
+                images = list(images) + [images[-1]] * pad_n
+                masks = list(masks) + [masks[-1]] * pad_n
+                words_list = list(words_list) + [words_list[-1]] * pad_n
+                seeds = seeds + [seeds[-1]] * pad_n
+                b += pad_n
+
         img = jnp.asarray(np.concatenate(
             [improc.preprocess_image(im, height, width) for im in images]), dtype)
         mask = jnp.asarray(np.concatenate(
@@ -447,7 +461,8 @@ class FillPipeline:
         if t_pad != t_img:
             latents = latents[:, :t_img]
         images_out = self._decode(self.vae_params, latents, lat_h, lat_w)
-        return improc.postprocess_image(np.asarray(images_out.astype(jnp.float32)))
+        outs = improc.postprocess_image(np.asarray(images_out.astype(jnp.float32)))
+        return outs[:b_real]
 
     # ------------------------------------------------------------------
     # loading
