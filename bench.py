@@ -263,7 +263,7 @@ def main():
             "joint_seq_len": t_img + T_TXT,
             **extra,
         },
-        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound (B=8 measured 123.8 ms/img vs 116.0 at B=1).",
+        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens).",
     }
     print(json.dumps(result))
 

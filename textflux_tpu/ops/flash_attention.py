@@ -94,6 +94,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         acc_scr[...] = acc
 
 
+def _auto_block(s: int, lo: int = 256, hi: int = 1024) -> int:
+    """Block size (multiple of 8 in [lo, hi]) minimizing the padded sequence
+    — exact-fit blocks measured ~25% faster than power-of-2 defaults at the
+    serving sequence (S=1696: 848/424 at 447-483 us vs 1024/512 at 627 us);
+    ties break toward the largest block (fewest grid cells)."""
+    best_key, best_b = None, hi
+    for b8 in range(lo, hi + 1, 8):
+        padded = -(-s // b8) * b8
+        key = (padded, -b8)
+        if best_key is None or key < best_key:
+            best_key, best_b = key, b8
+    return best_b
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -111,8 +125,8 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     kv_len: Optional[int] = None,
-    block_q: int = 1024,   # tuned on v5e @ S~1700-5000: ~85% MXU, 3.7x XLA SDPA
-    block_k: int = 512,
+    block_q: Optional[int] = None,   # None: exact-fit auto-selection
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention over BSHD tensors.
@@ -122,6 +136,12 @@ def flash_attention(
       kv_len: true key length; keys at index >= kv_len are masked out.
     """
     b, s, h, d = q.shape
+    if block_q is None:
+        # single-pass: minimize padding; chunked (s > limit): power-of-2
+        # blocks that divide the fixed chunk
+        block_q = _auto_block(s) if s <= 12288 else 1024
+    if block_k is None:
+        block_k = block_q if s <= 12288 else 512
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kv_len = int(kv_len) if kv_len is not None else s
@@ -336,14 +356,18 @@ BWD_SINGLE_PASS_MAX_SEQ = 8192
 BWD_CHUNK = 2048
 
 
-def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q: int = 512,
-                        block_k: int = 512, interpret=None):
+def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
+                        block_k=None, interpret=None):
     """Pallas backward pass: (dq, dk, dv) for non-causal softmax attention.
 
     Recomputes row log-sum-exp (one extra QK pass) instead of saving softmax
     stats; never materializes the (S x S) score matrix in HBM.
     """
     b, s, h, d = q.shape
+    if block_q is None:
+        block_q = _auto_block(s, hi=512) if s <= BWD_SINGLE_PASS_MAX_SEQ else 512
+    if block_k is None:
+        block_k = block_q if s <= BWD_SINGLE_PASS_MAX_SEQ else 512
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kv_len = int(kv_len) if kv_len is not None else s
@@ -543,8 +567,8 @@ def flash_attention_qk_norm_rope(
     k_scale: jnp.ndarray,
     *,
     kv_len: Optional[int] = None,
-    block_q: int = 1024,
-    block_k: int = 512,
+    block_q: Optional[int] = None,   # None: exact-fit auto-selection
+    block_k: Optional[int] = None,
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
@@ -564,6 +588,10 @@ def flash_attention_qk_norm_rope(
         double-stream blocks use different txt/img norms).
     """
     b, s, h, d = q.shape
+    if block_q is None:
+        block_q = _auto_block(s) if s <= 6144 else 1024
+    if block_k is None:
+        block_k = block_q if s <= 6144 else 512
     if q_scale.ndim == 1:
         q_scale = jnp.broadcast_to(q_scale[None, :], (s, d))
     if k_scale.ndim == 1:
