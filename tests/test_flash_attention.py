@@ -276,3 +276,18 @@ def test_backward_chunked_matches_xla_vjp(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=3e-4)
     np.testing.assert_allclose(np.asarray(dk[:, :real]), np.asarray(dk_ref[:, :real]), atol=3e-4)
     np.testing.assert_allclose(np.asarray(dv[:, :real]), np.asarray(dv_ref[:, :real]), atol=3e-4)
+
+
+def test_auto_block_selection():
+    """Auto blocks minimize sequence padding (exact fit when a divisor is in
+    range), tie-breaking toward the largest block."""
+    from textflux_tpu.ops.flash_attention import _auto_block
+
+    assert _auto_block(1696) == 848          # exact divisor, zero padding
+    assert _auto_block(2048) == 1024         # power-of-2 exact
+    assert _auto_block(1792) == 896
+    assert 1696 % _auto_block(1696, hi=512) == 0   # bwd range: 424
+    # a prime-ish length: padding unavoidable, bounded by one block
+    s = 1603
+    b = _auto_block(s)
+    assert (-(-s // b) * b) - s < b
