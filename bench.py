@@ -80,11 +80,15 @@ def step_flops(cfg, t_img: int, t_txt: int) -> float:
     return matmul + attn + mods
 
 
-def _bench_step(cfg, params, t_img, t_txt, attn_impl):
+def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True):
+    """Per-denoise-step time, as the pipeline runs it: the AdaLN modulation
+    vectors are precomputed for the whole schedule (fill.py denoise), so the
+    step consumes per-step mod slices. The once-per-image precompute cost is
+    measured separately by _bench_mods_precompute."""
     import jax
     import jax.numpy as jnp
 
-    from textflux_tpu.models.transformer import flux_apply
+    from textflux_tpu.models.transformer import flux_apply, flux_mods, flux_vec
     from textflux_tpu.ops import packing, samplers
     from textflux_tpu.ops.rope import rope_tables, rope_tables_half
     from textflux_tpu.utils.benchmarking import time_step
@@ -99,18 +103,65 @@ def _bench_step(cfg, params, t_img, t_txt, attn_impl):
     pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
     guidance = jnp.full((1,), 30.0, jnp.float32)
 
+    mods = None
+    if precompute_mods:
+        vec = flux_vec(params, cfg, jnp.full((1,), 0.5, jnp.bfloat16), guidance,
+                       pooled, jnp.bfloat16)
+        mods = flux_mods(params, cfg, vec)
+
     # params/cond/etc. must be jit ARGUMENTS: closed-over arrays lower as
     # captured constants, which the tunneled backend re-ships per compile
-    def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
+    def step_fn(params, cond, txt, pooled, guidance, cos, sin, mods, lat):
         v = flux_apply(params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
                        jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
-                       attn_impl=attn_impl)
+                       attn_impl=attn_impl, mods=mods)
         return samplers.euler_step(lat, v, 0.5, 0.45)
 
     jitted = jax.jit(step_fn)
     lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
-    return time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
+    return time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, mods, lat),
                      lat0, iters_hi=8, iters_lo=2, repeats=2)
+
+
+def _bench_mods_precompute(cfg, params, steps=STEPS):
+    """Once-per-image cost of the whole-schedule AdaLN modulation precompute
+    (reads the ~27%-of-params modulation weights once). Memory-bound and
+    small; the measurement is floored at the HBM-bandwidth lower bound in
+    case the chain fits the tunnel's run-ahead window."""
+    import jax
+    import jax.numpy as jnp
+
+    from textflux_tpu.models.transformer import flux_mods, flux_vec
+    from textflux_tpu.utils.benchmarking import time_step
+
+    pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
+    guidance = jnp.full((steps,), 30.0, jnp.float32)
+
+    def mods_fn(params, pooled, sigma0):
+        sig = sigma0 + jnp.arange(steps, dtype=jnp.bfloat16) / (2 * steps)
+        vec = flux_vec(params, cfg, sig, guidance, jnp.tile(pooled, (steps, 1)),
+                       jnp.bfloat16)
+        mods = flux_mods(params, cfg, vec)
+        leaves = jax.tree.leaves(mods)
+        # data-dependence for chaining: scalar fold of all outputs
+        return sigma0 + 0.0 * sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) / 1e9
+
+    jitted = jax.jit(mods_fn)
+    t = time_step(lambda s: jitted(params, pooled, s), jnp.bfloat16(0.25),
+                  iters_hi=24, iters_lo=6, repeats=2)
+
+    def mod_bytes(tree):
+        total = 0
+        for key in ("double", "single"):
+            for name in ("img_mod", "txt_mod", "mod"):
+                node = tree[key].get(name) if isinstance(tree[key], dict) else None
+                if node:
+                    total += sum(np.prod(v.shape) * v.dtype.itemsize
+                                 for v in node.values())
+        return total
+
+    floor = mod_bytes(params) / 819e9   # v5e HBM ~819 GB/s
+    return max(t, floor)
 
 
 def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only"):
@@ -119,9 +170,10 @@ def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only"):
     cfg = FluxConfig()
     params = _zero_params(cfg, quantize=mode)
     t = _bench_step(cfg, params, t_img, t_txt, attn_impl)
+    t_mods = _bench_mods_precompute(cfg, params)
     del params
     gc.collect()
-    return t
+    return t, t_mods
 
 
 def bench_transformer_extrapolated(t_img, t_txt, attn_impl):
@@ -227,10 +279,12 @@ def main():
 
     mode = "full_w8a8_direct"
     extra = {}
+    t_mods = 0.0
     try:
-        t_step = bench_transformer_full_int8(t_img, T_TXT, attn, mode="w8a8")
-        extra["transformer_step_weight_only_s"] = round(
-            bench_transformer_full_int8(t_img, T_TXT, attn, mode="weight_only"), 5)
+        t_step, t_mods = bench_transformer_full_int8(t_img, T_TXT, attn, mode="w8a8")
+        wo_step, _ = bench_transformer_full_int8(t_img, T_TXT, attn, mode="weight_only")
+        extra["transformer_step_weight_only_s"] = round(wo_step, 5)
+        extra["mods_precompute_per_image_s"] = round(t_mods, 5)
     except Exception as e:  # OOM or non-TPU: fall back to depth extrapolation
         mode = f"bf16_depth_extrapolated ({type(e).__name__})"
         t_step, times = bench_transformer_extrapolated(t_img, T_TXT, attn)
@@ -245,7 +299,7 @@ def main():
     # the int8-peak fraction understates true utilization slightly)
     peak = 394.0 if mode == "full_w8a8_direct" else 197.0
 
-    s_per_img = STEPS * t_step + t_vae + t_t5 + t_clip
+    s_per_img = STEPS * t_step + t_mods + t_vae + t_t5 + t_clip
     result = {
         "metric": "s_per_img_512px_singleline_30steps",
         "value": round(s_per_img, 4),
@@ -263,7 +317,7 @@ def main():
             "joint_seq_len": t_img + T_TXT,
             **extra,
         },
-        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention; weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens).",
+        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention, whole-schedule AdaLN modulation precompute (mod weights ~27% of params read once per image, not per step; its per-image cost is in the breakdown); weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens).",
     }
     print(json.dumps(result))
 

@@ -220,3 +220,32 @@ def test_fused_long_seq_fallback_matches(rng, monkeypatch):
     out = flux_apply(fused_params, cfg, img, txt, pooled, jnp.array([0.5]), jnp.array([4.0]),
                      jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_precomputed_mods_parity(rng):
+    """flux_apply(mods=flux_mods(...)) must match the per-step path: the
+    denoise loop precomputes all steps' AdaLN modulations in one batched
+    matmul (fill.py) and the result may not drift from computing them
+    per block inside the scan. Covers bf16-style fp32 weights and the
+    stacked int8 W8A8 modulation path."""
+    from textflux_tpu.io.quantize import quantize_tree
+    from textflux_tpu.models.transformer import flux_mods, flux_vec
+
+    params = init_flux_params(jax.random.PRNGKey(3), TINY)
+    B, t_img, t_txt = 2, 16, 4
+    img = jnp.asarray(rng.standard_normal((B, t_img, TINY.in_channels)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((B, t_txt, TINY.joint_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((B, TINY.pooled_dim)), jnp.float32)
+    sigma = jnp.array([0.7, 0.3])
+    guidance = jnp.array([4.0, 4.0])
+    ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(8, 8)], axis=0)
+    cos, sin = rope_tables(ids, TINY.axes_dims_rope)
+    args = (img, txt, pooled, sigma, guidance, jnp.asarray(cos), jnp.asarray(sin))
+
+    for p in (params, quantize_tree(params, min_size=0, mode="w8a8")):
+        ref = flux_apply(p, TINY, *args, attn_impl="xla")
+        vec = flux_vec(p, TINY, sigma, guidance, pooled, jnp.float32)
+        out = flux_apply(p, TINY, *args, attn_impl="xla",
+                         mods=flux_mods(p, TINY, vec))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

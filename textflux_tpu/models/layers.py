@@ -54,7 +54,7 @@ def _dense_w8a8(p, x: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.int32).reshape(*lead, w_q.shape[-1])
     else:
         # stacked weights (L, in, out) against (L, ..., in) activations
-        acc = jnp.einsum("...i,...io->...o", xq, w_q,
+        acc = jnp.einsum("l...i,lio->l...o", xq, w_q,
                          preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * s * p["scale"][..., None, :]
     y = y.astype(x.dtype)

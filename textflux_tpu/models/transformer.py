@@ -130,11 +130,14 @@ def _apply_rope_half_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) ->
     return out.astype(orig)
 
 
-def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_impl, kv_len):
-    """One double-stream block: separate img/txt QKV + MLPs, joint attention."""
+def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_impl, kv_len):
+    """One double-stream block: separate img/txt QKV + MLPs, joint attention.
+
+    mods = (img_mod (B, 6D), txt_mod (B, 6D)) — the block's AdaLN modulation
+    vectors, computed by the caller (per step, or precomputed for the whole
+    sigma schedule by ``flux_mods``)."""
     n_txt = txt.shape[1]
-    img_mod = dense(p["img_mod"], silu(vec))
-    txt_mod = dense(p["txt_mod"], silu(vec))
+    img_mod, txt_mod = mods
     (i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2) = jnp.split(img_mod, 6, axis=-1)
     (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, axis=-1)
 
@@ -204,10 +207,11 @@ def double_block(p, cfg: FluxConfig, txt, img, vec, rope_cos, rope_sin, attn_imp
     return txt, img
 
 
-def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_len):
-    """One single-stream block: parallel attention + MLP over the joint sequence."""
+def single_block(p, cfg: FluxConfig, x, mod, rope_cos, rope_sin, attn_impl, kv_len):
+    """One single-stream block: parallel attention + MLP over the joint sequence.
+
+    mod: (B, 3D) AdaLN modulation vector (see double_block)."""
     d, m, h = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
-    mod = dense(p["mod"], silu(vec))
     shift, scale, gate = jnp.split(mod, 3, axis=-1)
     x_n = _modulate(x, shift, scale)
 
@@ -239,6 +243,55 @@ def single_block(p, cfg: FluxConfig, x, vec, rope_cos, rope_sin, attn_impl, kv_l
 # Full model
 # ---------------------------------------------------------------------------
 
+def flux_vec(params, cfg: FluxConfig, timestep, guidance, pooled, dtype=jnp.bfloat16):
+    """The AdaLN conditioning vector (B, D) from timestep + guidance + pooled
+    CLIP embedding (time_text_embed, transformer_flux.py:1088-1098)."""
+    vec = dense(params["time_in"]["fc2"], silu(dense(
+        params["time_in"]["fc1"],
+        timestep_embedding(timestep * 1000.0, cfg.time_embed_channels).astype(dtype))))
+    if cfg.guidance_embeds:
+        if guidance is None:
+            raise ValueError("model expects guidance embeddings")
+        vec = vec + dense(params["guidance_in"]["fc2"], silu(dense(
+            params["guidance_in"]["fc1"],
+            timestep_embedding(guidance * 1000.0, cfg.time_embed_channels).astype(dtype))))
+    vec = vec + dense(params["vector_in"]["fc2"], silu(dense(
+        params["vector_in"]["fc1"], pooled.astype(dtype))))
+    return vec
+
+
+def _dense_stacked(p, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply stacked per-layer dense weights (L, D_in, D_out) to a shared
+    input x (B, D_in) -> (L, B, D_out); handles bf16 / int8 leaf layouts."""
+    n_layers = (p.get("w") if "w" in p else p.get("w_q", p.get("w_q8a8"))).shape[0]
+    xb = jnp.broadcast_to(x[None], (n_layers,) + x.shape)
+    y = dense({k: v for k, v in p.items() if k != "b"}, xb)
+    if "b" in p:  # stacked bias (L, D_out) aligns against (L, B, D_out)
+        y = y + p["b"][:, None, :].astype(y.dtype)
+    return y
+
+
+def flux_mods(params, cfg: FluxConfig, vec: jnp.ndarray):
+    """All AdaLN modulation vectors for conditioning vec (B, D).
+
+    The modulation weights are ~27% of the DiT's parameters but their inputs
+    depend only on (timestep, guidance, pooled) — not on the latents. For a
+    whole denoise schedule, call with vec of shape (steps*B, D): every
+    modulation weight is then read ONCE per image instead of once per step
+    (measured -5.1 ms/step at full depth, w8a8, B=1; see ARCHITECTURE.md).
+
+    Returns {"double": (img (L, B, 6D), txt (L, B, 6D)),
+             "single": (L, B, 3D), "final": (B, 2D)}.
+    """
+    sv = silu(vec)
+    return {
+        "double": (_dense_stacked(params["double"]["img_mod"], sv),
+                   _dense_stacked(params["double"]["txt_mod"], sv)),
+        "single": _dense_stacked(params["single"]["mod"], sv),
+        "final": dense(params["final_mod"], sv),
+    }
+
+
 def flux_apply(
     params,
     cfg: FluxConfig,
@@ -253,22 +306,46 @@ def flux_apply(
     attn_impl: str = "auto",
     remat: bool = False,
     kv_len: Optional[int] = None,
+    mods=None,                    # optional precomputed flux_mods(...) output
 ) -> jnp.ndarray:
     """Predict the flow velocity for packed image tokens. Returns (B, T_img, out_channels)."""
     n_txt = txt_tokens.shape[1]
     dtype = img_tokens.dtype
 
-    vec = dense(params["time_in"]["fc2"], silu(dense(
-        params["time_in"]["fc1"],
-        timestep_embedding(timestep * 1000.0, cfg.time_embed_channels).astype(dtype))))
-    if cfg.guidance_embeds:
-        if guidance is None:
-            raise ValueError("model expects guidance embeddings")
-        vec = vec + dense(params["guidance_in"]["fc2"], silu(dense(
-            params["guidance_in"]["fc1"],
-            timestep_embedding(guidance * 1000.0, cfg.time_embed_channels).astype(dtype))))
-    vec = vec + dense(params["vector_in"]["fc2"], silu(dense(
-        params["vector_in"]["fc1"], pooled.astype(dtype))))
+    if mods is None:
+        vec = flux_vec(params, cfg, timestep, guidance, pooled, dtype)
+        sv = silu(vec)
+        mods = {
+            # computed lazily per block inside the scan bodies below (cheaper
+            # under remat than materializing all layers' vectors up front)
+            "final": dense(params["final_mod"], sv),
+        }
+        double_xs = params["double"]
+        single_xs = params["single"]
+
+        def double_body(carry, bp):
+            txt, img = carry
+            m = (dense(bp["img_mod"], sv), dense(bp["txt_mod"], sv))
+            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin, attn_impl, kv_len)
+            return (txt, img), None
+
+        def single_body(x, bp):
+            x = single_block(bp, cfg, x, dense(bp["mod"], sv), rope_cos, rope_sin, attn_impl, kv_len)
+            return x, None
+    else:
+        double_xs = (params["double"], mods["double"])
+        single_xs = (params["single"], mods["single"])
+
+        def double_body(carry, xs):
+            txt, img = carry
+            bp, m = xs
+            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin, attn_impl, kv_len)
+            return (txt, img), None
+
+        def single_body(x, xs):
+            bp, m = xs
+            x = single_block(bp, cfg, x, m, rope_cos, rope_sin, attn_impl, kv_len)
+            return x, None
 
     img = dense(params["img_in"], img_tokens)
     txt = dense(params["txt_in"], txt_tokens.astype(dtype))
@@ -276,28 +353,18 @@ def flux_apply(
     rope_cos = rope_cos.astype(jnp.float32)
     rope_sin = rope_sin.astype(jnp.float32)
 
-    def double_body(carry, block_params):
-        txt, img = carry
-        txt, img = double_block(block_params, cfg, txt, img, vec, rope_cos, rope_sin, attn_impl, kv_len)
-        return (txt, img), None
-
-    def single_body(x, block_params):
-        x = single_block(block_params, cfg, x, vec, rope_cos, rope_sin, attn_impl, kv_len)
-        return x, None
-
     if remat:
         double_body = jax.checkpoint(double_body, prevent_cse=False)
         single_body = jax.checkpoint(single_body, prevent_cse=False)
 
-    (txt, img), _ = jax.lax.scan(double_body, (txt, img), params["double"])
+    (txt, img), _ = jax.lax.scan(double_body, (txt, img), double_xs)
     x = jnp.concatenate([txt, img], axis=1)
-    x, _ = jax.lax.scan(single_body, x, params["single"])
+    x, _ = jax.lax.scan(single_body, x, single_xs)
     x = x[:, n_txt:]
 
     # AdaLN-continuous output head: chunk order is (scale, shift)
     # (normalization.py:361-366)
-    final = dense(params["final_mod"], silu(vec))
-    scale, shift = jnp.split(final, 2, axis=-1)
+    scale, shift = jnp.split(mods["final"], 2, axis=-1)
     x = layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
     return dense(params["final_proj"], x)
 

@@ -34,6 +34,7 @@ from textflux_tpu.config import (
 )
 from textflux_tpu.models.clip import clip_encode
 from textflux_tpu.models.t5 import t5_encode
+from textflux_tpu.models import transformer
 from textflux_tpu.models.transformer import flux_apply
 from textflux_tpu.models.vae import vae_decode, vae_encode
 from textflux_tpu.ops import packing, samplers
@@ -131,9 +132,30 @@ class FillPipeline:
             batched run consumes exactly the noise a per-item run would."""
             b = latents.shape[0]
 
+            # Precompute every step's AdaLN modulation vectors in one batched
+            # matmul over (steps*B) conditioning rows: the modulation weights
+            # (~27% of the DiT's params) are read once per image instead of
+            # once per step (measured -5.1 ms/step at full depth, w8a8, B=1).
+            # Row-wise results match the per-step matvecs; the int8 path is
+            # bitwise identical (int32 accumulation is exact per row).
+            n_steps = sigmas.shape[0] - 1
+            vec_all = transformer.flux_vec(
+                flux_params, flux_cfg,
+                jnp.repeat(sigmas[:-1].astype(latents.dtype), b),
+                None if guidance is None else jnp.tile(guidance, n_steps),
+                jnp.tile(pooled, (n_steps, 1)), latents.dtype)
+            mods_all = transformer.flux_mods(flux_params, flux_cfg, vec_all)
+
+            def per_step(t):
+                if t.ndim == 3:   # (L, steps*B, X) -> (steps, L, B, X)
+                    return t.reshape(t.shape[0], n_steps, b, t.shape[-1]).swapaxes(0, 1)
+                return t.reshape(n_steps, b, t.shape[-1])   # final: (steps*B, X)
+
+            mods_xs = jax.tree.map(per_step, mods_all)
+
             def step(carry, xs):
                 lat = carry
-                sigma, sigma_next, keys_b = xs
+                sigma, sigma_next, keys_b, mods_step = xs
                 v = flux_apply(
                     flux_params, flux_cfg,
                     jnp.concatenate([lat, cond], axis=-1),
@@ -143,6 +165,7 @@ class FillPipeline:
                     rope_cos, rope_sin,
                     attn_impl=attn_impl,
                     kv_len=kv_len,
+                    mods=mods_step,
                 )
                 if sampler == "overshoot":
                     lat = jax.vmap(lambda l, u, k: samplers.overshoot_step(
@@ -158,7 +181,7 @@ class FillPipeline:
                     lat = samplers.euler_step(lat, v, sigma, sigma_next)
                 return lat, None
 
-            xs = (sigmas[:-1], sigmas[1:], keys)
+            xs = (sigmas[:-1], sigmas[1:], keys, mods_xs)
             latents, _ = jax.lax.scan(step, latents, xs)
             return latents
 
