@@ -48,19 +48,25 @@ cos, sin = rope_tables_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
 cos, sin = jnp.asarray(cos), jnp.asarray(sin)
 
 def bench(mode, batch):
+    from textflux_tpu.models.transformer import flux_mods, flux_vec
+
     params = zero_params(cfg, mode)
     cond = jnp.zeros((batch, t_img, cfg.in_channels - 64), jnp.bfloat16)
     txt = jnp.zeros((batch, T_TXT, cfg.joint_dim), jnp.bfloat16)
     pooled = jnp.zeros((batch, cfg.pooled_dim), jnp.bfloat16)
     guidance = jnp.full((batch,), 30.0, jnp.float32)
-    def step_fn(params, cond, txt, pooled, guidance, cos, sin, lat):
+    # serving path: AdaLN modulations precomputed for the schedule (fill.py)
+    vec = flux_vec(params, cfg, jnp.full((batch,), 0.5, jnp.bfloat16), guidance,
+                   pooled, jnp.bfloat16)
+    mods = flux_mods(params, cfg, vec)
+    def step_fn(params, cond, txt, pooled, guidance, cos, sin, mods, lat):
         v = flux_apply(params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
                        jnp.full((batch,), 0.5, jnp.bfloat16), guidance, cos, sin,
-                       attn_impl="fused")
+                       attn_impl="fused", mods=mods)
         return samplers.euler_step(lat, v, 0.5, 0.45)
     jitted = jax.jit(step_fn)
     lat0 = jnp.zeros((batch, t_img, 64), jnp.bfloat16)
-    t = time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, lat),
+    t = time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, mods, lat),
                   lat0, iters_hi=8, iters_lo=2, repeats=2)
     del params
     gc.collect()

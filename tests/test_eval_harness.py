@@ -174,3 +174,39 @@ def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
         a = np.asarray(Image.open(tmp / "sharded" / "full_images" / name), np.int16)
         b = np.asarray(Image.open(tmp / "unsharded" / "full_images" / name), np.int16)
         np.testing.assert_allclose(a, b, atol=2, err_msg=name)
+
+
+def test_run_eval_cli_staged_text(monkeypatch, two_bucket_fixture):
+    """--staged-text (encode all prompts -> release text encoders -> load the
+    deferred DiT) produces the same images as the all-resident run."""
+    import os
+
+    jp, imgs, tmp = two_bucket_fixture
+    _run_eval_cli(monkeypatch, jp, imgs, tmp / "resident", 2)
+
+    from textflux_tpu.cli import run_eval as RE
+    from textflux_tpu.pipeline.fill import FillPipeline
+    from tests.helpers import tiny_pipeline
+
+    pipe = tiny_pipeline()
+    deferred = pipe.flux_params
+    pipe.flux_params = None
+    pipe._deferred_flux = lambda mesh: deferred
+    monkeypatch.setattr(FillPipeline, "from_pretrained",
+                        classmethod(lambda cls, *a, **k: pipe))
+    RE.main([
+        "--model", "unused", "--json-path", jp, "--original-images-dir", imgs,
+        "--output-dir", str(tmp / "staged"), "--steps", "2",
+        "--batch-size", "2", "--seq-pad-multiple", "64", "--staged-text",
+    ])
+    assert pipe.t5_params is None and pipe.clip_params is None
+    assert pipe.flux_params is not None
+
+    names = sorted(os.listdir(tmp / "resident" / "full_images"))
+    assert sorted(os.listdir(tmp / "staged" / "full_images")) == names
+    for name in names:
+        a = np.asarray(Image.open(tmp / "resident" / "full_images" / name), np.int16)
+        b = np.asarray(Image.open(tmp / "staged" / "full_images" / name), np.int16)
+        np.testing.assert_allclose(a, b, atol=1, err_msg=name)
+    report = json.loads((tmp / "staged" / "failures.json").read_text())
+    assert report["done"] == 5 and report["failed"] == 0

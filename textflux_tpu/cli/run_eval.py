@@ -112,13 +112,14 @@ def run_items(pipe, prepared: List[dict], *, batch_size: int, steps: int,
     if batch_size <= 1:
         for prep in prepared:
             try:
+                te = prep.get("text_embeds")
                 result = pipe(
                     image=prep["image"], mask_image=prep["mask"],
                     prompt=prep["prompt"], prompt_2=prep["prompt_2"],
                     width=prep["size"][0], height=prep["size"][1],
                     num_inference_steps=steps, guidance_scale=guidance_scale,
                     seed=seed, sampler=sampler, overshoot_c=overshoot_c,
-                    seq_pad_multiple=seq_pad_multiple,
+                    seq_pad_multiple=seq_pad_multiple, text_embeds=te,
                 )[0]
                 save_fn(prep, result)
             except Exception as e:  # per-item resilience, like the reference worker
@@ -129,6 +130,10 @@ def run_items(pipe, prepared: List[dict], *, batch_size: int, steps: int,
     for (w, h), bucket in group_by_bucket(prepared).items():
         for i in range(0, len(bucket), batch_size):
             chunk = bucket[i:i + batch_size]
+            te = None
+            if all("text_embeds" in p for p in chunk):
+                te = (np.concatenate([p["text_embeds"][0] for p in chunk]),
+                      np.concatenate([p["text_embeds"][1] for p in chunk]))
             try:
                 results = pipe.generate_batch(
                     [p["image"] for p in chunk],
@@ -137,7 +142,7 @@ def run_items(pipe, prepared: List[dict], *, batch_size: int, steps: int,
                     width=w, height=h,
                     num_inference_steps=steps, guidance_scale=guidance_scale,
                     seed=seed, sampler=sampler, overshoot_c=overshoot_c,
-                    seq_pad_multiple=seq_pad_multiple,
+                    seq_pad_multiple=seq_pad_multiple, text_embeds=te,
                 )
             except Exception as e:  # whole chunk failed (e.g. OOM): record each
                 for p in chunk:
@@ -182,6 +187,14 @@ def main(argv=None):
                         "w8a8: int8 MXU matmuls (~1.4x faster step)")
     p.add_argument("--seq-pad-multiple", type=int, default=256,
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
+    p.add_argument("--staged-text", action="store_true",
+                   help="staged single-chip residency: encode every prompt "
+                        "first, free the text encoders, then load the DiT "
+                        "(the int8 12B DiT and bf16 T5-XXL cannot co-reside "
+                        "on one 16GB chip; see ARCHITECTURE.md)")
+    p.add_argument("--no-quantize-t5", action="store_true",
+                   help="keep the T5 encoder bf16 when --quantize is on "
+                        "(default: T5 goes int8 weight-only with the DiT)")
     args = p.parse_args(argv)
 
     from textflux_tpu.utils.tracking import enable_compilation_cache
@@ -198,7 +211,9 @@ def main(argv=None):
 
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize_mode if args.quantize else False, mesh=mesh)
+        quantize=args.quantize_mode if args.quantize else False, mesh=mesh,
+        quantize_t5=False if args.no_quantize_t5 else None,
+        defer_transformer=args.staged_text)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     font = load_font(args.font, 60)
 
@@ -221,6 +236,21 @@ def main(argv=None):
         except Exception as e:
             failures.append({"img_name": item.get("img_name"), "error": repr(e)})
             print(f"FAILED prepare {item.get('img_name')}: {e}")
+
+    if args.staged_text:
+        # phase 1: text encoders resident, DiT deferred — encode every prompt
+        for prep in prepared:
+            try:
+                pooled, txt = pipe.encode_batch_prompts([prep["words"]])
+                prep["text_embeds"] = (np.asarray(pooled.astype("float32")),
+                                       np.asarray(txt.astype("float32")))
+            except Exception as e:
+                failures.append({"img_name": prep.get("img_name"), "error": repr(e)})
+                print(f"FAILED encode {prep.get('img_name')}: {e}")
+        prepared = [p for p in prepared if "text_embeds" in p]
+        # phase 2: free the encoders, load the DiT
+        pipe.release_text_encoders()
+        pipe.load_transformer()
 
     saved = []
 

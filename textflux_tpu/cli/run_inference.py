@@ -68,12 +68,20 @@ def run(pipe, image_path, mask_path, words_path, *, steps=30, guidance_scale=30.
     combined_mask = combined_mask.resize((new_w, new_h))
 
     prompt, prompt_2 = build_prompts(words)
+    text_embeds = None
+    if pipe.flux_params is None and hasattr(pipe, "_deferred_flux"):
+        # staged single-chip residency: encode now, free the encoders, then
+        # load the (int8) DiT — peak HBM is max(phase), not the sum
+        text_embeds = pipe.encode_prompts(prompt, prompt_2)
+        pipe.release_text_encoders()
+        pipe.load_transformer()
     result = pipe(
         image=combined, mask_image=combined_mask,
         prompt=prompt, prompt_2=prompt_2,
         height=new_h, width=new_w,
         num_inference_steps=steps, guidance_scale=guidance_scale,
         seed=seed, sampler=sampler, overshoot_c=overshoot_c,
+        text_embeds=text_embeds,
     )[0]
     return result, crop_fn(result), rendered, original, mask
 
@@ -116,6 +124,13 @@ def main():
                    default="weight_only",
                    help="weight_only: dequant into bf16 matmuls (best quality); "
                         "w8a8: int8 MXU matmuls (~1.4x faster step)")
+    p.add_argument("--staged-text", action="store_true",
+                   help="staged single-chip residency: encode the prompt, free "
+                        "the text encoders, then load the DiT (the int8 12B "
+                        "DiT and bf16 T5-XXL cannot co-reside on a 16GB chip)")
+    p.add_argument("--no-quantize-t5", action="store_true",
+                   help="keep the T5 encoder bf16 when --quantize is on "
+                        "(default: T5 goes int8 weight-only with the DiT)")
     p.add_argument("--output-dir", default="outputs")
     args = p.parse_args()
 
@@ -132,7 +147,9 @@ def main():
 
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize_mode if args.quantize else False)
+        quantize=args.quantize_mode if args.quantize else False,
+        quantize_t5=False if args.no_quantize_t5 else None,
+        defer_transformer=args.staged_text)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     result, cropped, rendered, original, mask = run(
         pipe, args.image, args.mask, args.words,

@@ -79,8 +79,9 @@ class FillPipeline:
             if jax.default_backend() == "tpu" and flux_cfg.head_dim % 128 == 0:
                 attn_impl = "fused"
         self.attn_impl = attn_impl
-        if attn_impl == "fused":
+        if attn_impl == "fused" and flux_params is not None:
             # fold the rotate-half permutation into the q/k weight columns once
+            # (a deferred DiT is permuted by load_transformer instead)
             from textflux_tpu.models.transformer import half_permute_flux_params
 
             self.flux_params = half_permute_flux_params(self.flux_params, flux_cfg)
@@ -361,6 +362,20 @@ class FillPipeline:
         if self.t5_params is not None:
             self.t5_params = PT.replicate_tree(self.t5_params, mesh)
 
+    def encode_batch_prompts(self, words_list, dtype=jnp.bfloat16):
+        """(pooled, txt) embeddings for a batch of render-word lists, using
+        generate_batch's templates (shared generic CLIP prompt, per-sample T5
+        word prompts). Staged residency: call for every batch while the text
+        encoders are resident, then release_text_encoders()."""
+        from textflux_tpu.pipeline.prompts import GENERIC_TEMPLATE, words_prompt
+
+        if self.clip_params is None or self.t5_params is None:
+            raise ValueError("text encoders were released or never loaded")
+        clip_ids = np.concatenate([self.clip_tokenize(GENERIC_TEMPLATE)] * len(words_list))
+        t5_ids = np.concatenate([self.t5_tokenize(words_prompt(w)) for w in words_list])
+        return self._encode_text(self.clip_params, self.t5_params,
+                                 jnp.asarray(clip_ids), jnp.asarray(t5_ids), dtype)
+
     def generate_batch(
         self,
         images,
@@ -377,6 +392,7 @@ class FillPipeline:
         overshoot_c: Optional[float] = None,
         dtype=jnp.bfloat16,
         seq_pad_multiple: Optional[int] = None,
+        text_embeds=None,
     ):
         """Batched generation: all samples share one (height, width) bucket;
         T5 prompts differ per sample, CLIP uses the shared generic template.
@@ -420,8 +436,6 @@ class FillPipeline:
         mask = jnp.asarray(np.concatenate(
             [improc.preprocess_mask(m, height, width) for m in masks]), dtype)
 
-        clip_ids = np.concatenate([self.clip_tokenize(GENERIC_TEMPLATE)] * len(images))
-        t5_ids = np.concatenate([self.t5_tokenize(words_prompt(w)) for w in words_list])
         mesh = getattr(self, "mesh", None)
         bspec = None
         if mesh is not None:
@@ -430,11 +444,28 @@ class FillPipeline:
             bspec = NamedSharding(mesh, P(("data", "fsdp")))
             img = jax.device_put(img, bspec)
             mask = jax.device_put(mask, bspec)
-            clip_ids = jax.device_put(jnp.asarray(clip_ids), bspec)
-            t5_ids = jax.device_put(jnp.asarray(t5_ids), bspec)
-        pooled, txt = self._encode_text(
-            self.clip_params, self.t5_params, jnp.asarray(clip_ids),
-            jnp.asarray(t5_ids), dtype)
+        if text_embeds is not None:
+            # staged residency: embeds were computed while the encoders were
+            # resident (encode_batch_prompts); pad ragged tails like the inputs
+            pooled, txt = text_embeds
+            pooled = jnp.asarray(pooled, dtype)
+            txt = jnp.asarray(txt, dtype)
+            if b_real != b:
+                extra = b - pooled.shape[0]
+                pooled = jnp.concatenate([pooled, jnp.repeat(pooled[-1:], extra, 0)])
+                txt = jnp.concatenate([txt, jnp.repeat(txt[-1:], extra, 0)])
+            if bspec is not None:
+                pooled = jax.device_put(pooled, bspec)
+                txt = jax.device_put(txt, bspec)
+        else:
+            clip_ids = np.concatenate([self.clip_tokenize(GENERIC_TEMPLATE)] * len(images))
+            t5_ids = np.concatenate([self.t5_tokenize(words_prompt(w)) for w in words_list])
+            if bspec is not None:
+                clip_ids = jax.device_put(jnp.asarray(clip_ids), bspec)
+                t5_ids = jax.device_put(jnp.asarray(t5_ids), bspec)
+            pooled, txt = self._encode_text(
+                self.clip_params, self.t5_params, jnp.asarray(clip_ids),
+                jnp.asarray(t5_ids), dtype)
 
         lat_h = height // self.vae_cfg.spatial_factor
         lat_w = width // self.vae_cfg.spatial_factor
@@ -501,12 +532,26 @@ class FillPipeline:
         lora_scale: float = 1.0,
         dtype=jnp.bfloat16,
         quantize: Union[bool, str] = False,
+        quantize_t5: Optional[bool] = None,
+        defer_transformer: bool = False,
         mesh=None,
         pipe_cfg: PipelineConfig = PipelineConfig(),
         attn_impl: str = "auto",
     ) -> "FillPipeline":
         """Load from a diffusers-layout checkpoint directory
-        (subfolders: transformer/ vae/ text_encoder/ text_encoder_2/ tokenizer*/)."""
+        (subfolders: transformer/ vae/ text_encoder/ text_encoder_2/ tokenizer*/).
+
+        Single-chip staged residency: the int8 12B DiT (11.1 GiB) and the
+        bf16 T5-XXL (8.9 GiB) cannot both sit on a 16 GiB chip. With
+        ``defer_transformer=True`` the DiT is NOT loaded here; encode all
+        prompts first, then ``release_text_encoders()`` and
+        ``load_transformer()`` — peak residency is max(T5 phase, DiT phase)
+        instead of the sum (budget table in ARCHITECTURE.md).
+
+        quantize_t5 (default: on whenever ``quantize`` is on) stores the T5
+        weights int8 weight-only (8.9 -> 4.4 GiB), for co-resident
+        interactive serving on larger slices.
+        """
         from textflux_tpu.io.config_io import (
             clip_config_from,
             flux_config_from,
@@ -524,23 +569,27 @@ class FillPipeline:
 
         t_path = transformer_path or os.path.join(base_path, "transformer")
         flux_cfg = flux_config_from(t_path)
-        if lora_path is None:
-            # with a mesh, the DiT loads straight onto its tensor shards
-            flux_params = load_flux_transformer(t_path, flux_cfg, dtype=dtype, mesh=mesh)
-        else:
-            from textflux_tpu.io.lora import load_folded_flux_transformer
 
-            flux_params = load_folded_flux_transformer(
-                t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
-        if quantize:
-            # int8 serving: "weight_only" (True) fits the 12B fill DiT on a
-            # single 16GB chip; "w8a8" additionally runs the matmuls on the
-            # int8 MXU (164 -> 116 ms/step on v5e, quality table in
-            # ARCHITECTURE.md)
-            from textflux_tpu.io.quantize import quantize_tree
+        def _load_flux(mesh_arg):
+            if lora_path is None:
+                # with a mesh, the DiT loads straight onto its tensor shards
+                fp = load_flux_transformer(t_path, flux_cfg, dtype=dtype, mesh=mesh_arg)
+            else:
+                from textflux_tpu.io.lora import load_folded_flux_transformer
 
-            mode = quantize if isinstance(quantize, str) else "weight_only"
-            flux_params = quantize_tree(flux_params, mode=mode)
+                fp = load_folded_flux_transformer(
+                    t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
+            if quantize:
+                # int8 serving: "weight_only" (True) fits the 12B fill DiT on
+                # a single 16GB chip; "w8a8" additionally runs the matmuls on
+                # the int8 MXU (quality table in ARCHITECTURE.md)
+                from textflux_tpu.io.quantize import quantize_tree
+
+                mode = quantize if isinstance(quantize, str) else "weight_only"
+                fp = quantize_tree(fp, mode=mode)
+            return fp
+
+        flux_params = None if defer_transformer else _load_flux(mesh)
 
         vae_cfg = vae_config_from(os.path.join(base_path, "vae"))
         vae_sd = load_safetensors_dir(os.path.join(base_path, "vae"))
@@ -553,6 +602,10 @@ class FillPipeline:
         t5_cfg = t5_config_from(os.path.join(base_path, "text_encoder_2"))
         t5_sd = load_safetensors_dir(os.path.join(base_path, "text_encoder_2"))
         t5_params = to_device_params(convert_t5_state_dict(t5_sd, t5_cfg), dtype=dtype)
+        if quantize_t5 if quantize_t5 is not None else bool(quantize):
+            from textflux_tpu.io.quantize import quantize_tree
+
+            t5_params = quantize_tree(t5_params, mode="weight_only")
 
         from textflux_tpu.pipeline.tokenizers import load_tokenizers
 
@@ -575,4 +628,30 @@ class FillPipeline:
         )
         if mesh is not None:
             pipe.mesh = mesh
+        if defer_transformer:
+            pipe._deferred_flux = _load_flux
         return pipe
+
+    def release_text_encoders(self) -> None:
+        """Free the text encoders' device buffers (staged residency phase
+        boundary: all prompts are encoded, the DiT loads next)."""
+        for tree in (self.t5_params, self.clip_params):
+            if tree is not None:
+                for leaf in jax.tree.leaves(tree):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+        self.t5_params = None
+        self.clip_params = None
+
+    def load_transformer(self) -> None:
+        """Load the DiT deferred by from_pretrained(defer_transformer=True)."""
+        if self.flux_params is not None:
+            return
+        if not hasattr(self, "_deferred_flux"):
+            raise ValueError("pipeline was not built with defer_transformer=True")
+        params = self._deferred_flux(getattr(self, "mesh", None))
+        if self.attn_impl == "fused":
+            from textflux_tpu.models.transformer import half_permute_flux_params
+
+            params = half_permute_flux_params(params, self.flux_cfg)
+        self.flux_params = params
