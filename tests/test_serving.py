@@ -108,3 +108,28 @@ def test_overshoot_c_changes_output(pipe, rng):
     a = np.asarray(pipe(**kw, overshoot_c=0.5)[0], np.float32)
     b = np.asarray(pipe(**kw, overshoot_c=8.0)[0], np.float32)
     assert np.abs(a - b).max() > 0
+
+
+def test_generate_batch_quantized_sharded_matches_unsharded(rng):
+    """shard_for_serving must handle int8-quantized params: the w_q/scale
+    leaves take the dense spec's sharding (adapt_specs_to_params), and the
+    tensor-sharded quantized pipeline matches the unsharded quantized one."""
+    from textflux_tpu.io.quantize import quantize_tree
+    from tests.helpers import tiny_pipeline
+
+    qpipe = tiny_pipeline()
+    qpipe.flux_params = quantize_tree(qpipe.flux_params, min_size=0,
+                                      mode="w8a8")
+    images, masks = _inputs(rng, 4)
+    words = [["w1"], ["w2"], ["w3"], ["w4"]]
+    kw = dict(height=32, width=48, num_inference_steps=2, seed=3,
+              dtype=jnp.float32, sampler="euler")
+    ref = qpipe.generate_batch(images, masks, words, **kw)
+
+    mesh = PT.make_mesh((2, 2, 2))
+    qpipe.shard_for_serving(mesh)
+    with mesh:
+        out = qpipe.generate_batch(images, masks, words, **kw)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=2.0)

@@ -173,6 +173,15 @@ def main():
     p.add_argument("--lora", default=None)
     p.add_argument("--beta", action="store_true")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 DiT + int8 T5 (interactive serving needs all "
+                        "models co-resident — fits 24GB+ devices; on a 16GB "
+                        "chip use the batch CLIs' --staged-text instead)")
+    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8"],
+                   default="weight_only")
+    p.add_argument("--mesh", default=None,
+                   help="dp,fsdp,tp — tensor-shard the DiT for co-resident "
+                        "bf16 serving on a multi-chip slice")
     args = p.parse_args()
 
     from textflux_tpu.utils.tracking import enable_compilation_cache
@@ -180,8 +189,14 @@ def main():
 
     from textflux_tpu.pipeline.fill import FillPipeline
 
+    mesh = None
+    if args.mesh:
+        from textflux_tpu.parallel import partitioning as PT
+
+        mesh = PT.make_mesh(tuple(int(x) for x in args.mesh.split(",")))
     pipe = FillPipeline.from_pretrained(
-        args.model, transformer_path=args.transformer, lora_path=args.lora)
+        args.model, transformer_path=args.transformer, lora_path=args.lora,
+        quantize=args.quantize_mode if args.quantize else False, mesh=mesh)
     build_ui(pipe, beta=args.beta).launch(server_port=args.port)
 
 

@@ -95,6 +95,36 @@ def flux_param_specs(cfg: FluxConfig):
     return specs
 
 
+def adapt_specs_to_params(specs, params):
+    """Adapt a {"w", "b"} dense-spec tree to the actual param leaf layout.
+
+    Quantized denses (io/quantize.py) replace "w" with "w_q"/"w_q8a8" plus a
+    per-output-channel "scale": the int8 weight takes w's spec; scale keeps
+    the out-dim sharding (w's last axis) so each shard dequantizes locally.
+    """
+    def rec(s, p):
+        if isinstance(s, dict) and isinstance(p, dict) and "w" in s and "w" not in p:
+            wspec = s["w"]
+            n = len(tuple(wspec))
+            # scale (..., out) keeps w's out-dim axis; replicated/short specs
+            # (trailing dims implicitly replicated) get a replicated scale
+            sspec = P(*wspec[:-2], wspec[-1]) if n >= 2 else P()
+            out = {}
+            for k in p:
+                if k in ("w_q", "w_q8a8"):
+                    out[k] = wspec
+                elif k == "scale":
+                    out[k] = sspec
+                else:  # bias
+                    out[k] = s.get("b", P())
+            return out
+        if isinstance(s, dict) and isinstance(p, dict):
+            return {k: rec(s[k], p[k]) if k in p else s[k] for k in s}
+        return s
+
+    return rec(specs, params)
+
+
 def batch_spec() -> P:
     """Batch dims shard over (data, fsdp) jointly (fsdp doubles as extra DP)."""
     return P(("data", "fsdp"))

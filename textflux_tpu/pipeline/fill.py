@@ -354,8 +354,9 @@ class FillPipeline:
         from textflux_tpu.parallel import partitioning as PT
 
         self.mesh = mesh
-        self.flux_params = PT.shard_tree(
-            self.flux_params, PT.flux_param_specs(self.flux_cfg), mesh)
+        specs = PT.adapt_specs_to_params(
+            PT.flux_param_specs(self.flux_cfg), self.flux_params)
+        self.flux_params = PT.shard_tree(self.flux_params, specs, mesh)
         self.vae_params = PT.replicate_tree(self.vae_params, mesh)
         if self.clip_params is not None:
             self.clip_params = PT.replicate_tree(self.clip_params, mesh)
@@ -587,6 +588,14 @@ class FillPipeline:
 
                 mode = quantize if isinstance(quantize, str) else "weight_only"
                 fp = quantize_tree(fp, mode=mode)
+                if mesh_arg is not None:
+                    # pin canonical shardings on the int8 leaves (scale
+                    # follows the out-dim axis)
+                    from textflux_tpu.parallel import partitioning as PT
+
+                    fp = PT.shard_tree(
+                        fp, PT.adapt_specs_to_params(
+                            PT.flux_param_specs(flux_cfg), fp), mesh_arg)
             return fp
 
         flux_params = None if defer_transformer else _load_flux(mesh)
