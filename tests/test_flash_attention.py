@@ -291,3 +291,32 @@ def test_auto_block_selection():
     s = 1603
     b = _auto_block(s)
     assert (-(-s // b) * b) - s < b
+
+
+@pytest.mark.parametrize("variant", ["hoist_on", "hoist_off", "per_head"])
+def test_fused_variants_match(rng, variant):
+    """The hoisted-K and per-head fused kernels must match the streaming
+    kernel exactly (same f32 math, different scheduling), with and without
+    kv_len masking."""
+    from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
+
+    b, s, h, d = 1, 320, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
+    qs = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    ks = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    kw = {"hoist_on": {"hoist_k": True}, "hoist_off": {"hoist_k": False},
+          "per_head": {"per_head": True}}[variant]
+    for kv_len in (None, 300):  # exact fit (mask skipped) and masked
+        ref = flash_attention_qk_norm_rope(
+            q, k, v, cos, sin, qs, ks, kv_len=kv_len, block_q=160, block_k=80,
+            hoist_k=False)
+        out = flash_attention_qk_norm_rope(
+            q, k, v, cos, sin, qs, ks, kv_len=kv_len, block_q=160, block_k=80,
+            **kw)
+        real = kv_len or s
+        np.testing.assert_allclose(np.asarray(out[:, :real]),
+                                   np.asarray(ref[:, :real]), atol=1e-6)

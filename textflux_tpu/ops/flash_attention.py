@@ -55,9 +55,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (Bq, Bk)
-        col = base + i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < kv_len, s, -1e30)
+        if kv_len < n_chunks * kv_chunk:  # static: exact-fit seqs skip masking
+            col = base + i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < kv_len, s, -1e30)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -213,7 +214,8 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 def _lse_kernel(q_ref, k_ref, l_ref, m_scr, l_scr, *, block_k: int,
-                kv_len: int, scale: float, n_chunks: int):
+                kv_len: int, scale: float, n_chunks: int,
+                need_mask: bool = True):
     """Row log-sum-exp of the score matrix: L_i = m_i + log sum_j e^{s_ij - m_i}.
     Output is lane-replicated (bq, 128) so the block layout stays tile-legal.
     K streams in chunks (innermost 'arbitrary' grid dim) when n_chunks > 1."""
@@ -228,9 +230,10 @@ def _lse_kernel(q_ref, k_ref, l_ref, m_scr, l_scr, *, block_k: int,
         kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        col = base + i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < kv_len, s, -1e30)
+        if need_mask:  # static: exact-fit sequences skip masking entirely
+            col = base + i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1, keepdims=True)
         return m_new, l
@@ -258,7 +261,8 @@ def _lse_kernel(q_ref, k_ref, l_ref, m_scr, l_scr, *, block_k: int,
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_scr,
-               *, block_k: int, kv_len: int, scale: float, n_chunks: int):
+               *, block_k: int, kv_len: int, scale: float, n_chunks: int,
+               need_mask: bool = True):
     ic = pl.program_id(3) if n_chunks > 1 else 0
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
@@ -273,9 +277,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_scr,
         vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        col = base + i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+        if need_mask:  # static: exact-fit sequences skip masking entirely
+            col = base + i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - dvec)
@@ -301,14 +308,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dq_ref, acc_scr,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
                 dk_scr, dv_scr, *, block_q: int, kv_len: int, scale: float,
-                n_chunks: int):
+                n_chunks: int, need_mask: bool = True):
     ic = pl.program_id(3) if n_chunks > 1 else 0
     kb = k_ref[0].astype(jnp.float32)
     vb = v_ref[0].astype(jnp.float32)
     bk, d = kb.shape
     nq = q_ref.shape[1] // block_q
     j0 = pl.program_id(2) * bk
-    col_valid = (j0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)) < kv_len
+    if need_mask:  # static: exact-fit sequences skip masking entirely
+        col_valid = (j0 + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)) < kv_len
 
     def body(i, carry):
         dk, dv = carry
@@ -318,7 +326,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dvec_ref, dk_ref, dv_ref,
         dvec = dvec_ref[0, pl.ds(i * block_q, block_q), :][:, :1]
         s = jax.lax.dot_general(qb * scale, kb, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)       # (bq, bk)
+        if need_mask:
+            p = jnp.where(col_valid, jnp.exp(s - lse), 0.0)   # (bq, bk)
+        else:
+            p = jnp.exp(s - lse)
         dv = dv + jax.lax.dot_general(p, dob, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(dob, vb, (((1,), (1,)), ((), ())),
@@ -411,9 +422,10 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
     semantics = ("parallel", "parallel", "parallel") + semantics_tail
 
     # pass 1: row log-sum-exp (lane-replicated), per (b, h)
+    need_mask = kv_len < sp
     lse = pl.pallas_call(
         functools.partial(_lse_kernel, block_k=block_k, kv_len=kv_len,
-                          scale=scale, n_chunks=n_chunks),
+                          scale=scale, n_chunks=n_chunks, need_mask=need_mask),
         grid=(b, h, sp // block_q) + grid_tail,
         in_specs=[qblk(), full_c()],
         out_specs=pl.BlockSpec((1, block_q, 128),
@@ -442,7 +454,7 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, block_k=block_k, kv_len=kv_len,
-                          scale=scale, n_chunks=n_chunks),
+                          scale=scale, n_chunks=n_chunks, need_mask=need_mask),
         grid=(b, h, sp // block_q) + grid_tail,
         in_specs=[qblk(), full_c(), full_c(), qblk(), lse_spec_q, lse_spec_q],
         out_specs=qblk(),
@@ -454,7 +466,7 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, block_q=block_q, kv_len=kv_len,
-                          scale=scale, n_chunks=n_chunks),
+                          scale=scale, n_chunks=n_chunks, need_mask=need_mask),
         grid=(b, h, sp // block_k) + grid_tail,
         in_specs=[full_c(), kblk(), kblk(), full_c(), lse_spec_c, lse_spec_c],
         out_specs=(kblk(), kblk()),
@@ -488,7 +500,7 @@ def _norm_rope(x, scale_row, cos, sin, eps: float):
 def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                   qs_ref, ks_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   block_k: int, kv_len: int, scale: float, eps: float,
-                  n_chunks: int):
+                  n_chunks: int, hoist_k: bool = False):
     # refs view the (B, S, H*D) layout with a 128-wide head column slice;
     # K/V (+ their rope/scale tables) stream in chunks when n_chunks > 1,
     # with running stats carried in scratch (see _flash_kernel)
@@ -499,6 +511,10 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
     q = _norm_rope(q_ref[0].astype(jnp.float32), qs_ref[:],
                    cq_ref[:], sq_ref[:], eps) * scale
     q = q.astype(v_ref.dtype)
+    if hoist_k:
+        # one whole-chunk VPU pass up front, decoupled from the softmax loop
+        kb_all = _norm_rope(k_ref[0].astype(jnp.float32), ks_ref[:],
+                            ck_ref[:], sk_ref[:], eps).astype(v_ref.dtype)
 
     if n_chunks > 1:
         @pl.when(ic == 0)
@@ -509,20 +525,26 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
 
     def body(i, carry):
         m, l, acc = carry
-        kb = _norm_rope(
-            k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
-            ks_ref[pl.ds(i * block_k, block_k), :],
-            ck_ref[pl.ds(i * block_k, block_k), :],
-            sk_ref[pl.ds(i * block_k, block_k), :],
-            eps,
-        ).astype(v_ref.dtype)
+        if hoist_k:
+            # i is a Python int here (unrolled loop) -> static slices only;
+            # Pallas TPU cannot dynamic-slice a kernel *value*
+            kb = kb_all[i * block_k:(i + 1) * block_k]
+        else:
+            kb = _norm_rope(
+                k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32),
+                ks_ref[pl.ds(i * block_k, block_k), :],
+                ck_ref[pl.ds(i * block_k, block_k), :],
+                sk_ref[pl.ds(i * block_k, block_k), :],
+                eps,
+            ).astype(v_ref.dtype)
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = base + i * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < kv_len, s, -1e30)
+        if kv_len < n_chunks * kv_chunk:  # static: exact-fit seqs skip masking
+            col = base + i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -533,16 +555,24 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         acc = acc * alpha + pv
         return m_new, l, acc
 
+    def run(carry0):
+        if hoist_k:  # Python-unrolled: body requires static slice indices
+            carry = carry0
+            for i in range(kv_chunk // block_k):
+                carry = body(i, carry)
+            return carry
+        return jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+
     if n_chunks == 1:
         carry0 = (jnp.full((bq, 1), -1e30, jnp.float32),
                   jnp.zeros((bq, 1), jnp.float32),
                   jnp.zeros((bq, d), jnp.float32))
-        m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+        m, l, acc = run(carry0)
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return
 
     carry0 = (m_scr[:, :1], l_scr[:, :1], acc_scr[...])
-    m, l, acc = jax.lax.fori_loop(0, kv_chunk // block_k, body, carry0)
+    m, l, acc = run(carry0)
 
     @pl.when(ic == n_chunks - 1)
     def _finish():
@@ -555,8 +585,60 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         acc_scr[...] = acc
 
 
+def _fused_kernel_perhead(q_ref, k_ref, v_ref, c_ref, s_ref,
+                          qs_ref, ks_ref, o_ref, *, block_q: int, block_k: int,
+                          kv_len: int, scale: float, eps: float,
+                          need_mask: bool):
+    """Single-pass per-(batch, head) program: the normed+roped K is computed
+    ONCE and shared by every q-tile (the per-q-block grid recomputes it per
+    tile). The rope tables are passed once and shared by the q and k norms
+    (the streaming kernel binds them twice — that alone is 1.7 MB of VMEM at
+    S=1696). The q loop is a fori_loop (refs slice dynamically; a Python
+    unroll kept every tile's score temporaries live at once and blew the
+    Mosaic stack); only the K loop over the kb_all *value* is static."""
+    sp = q_ref.shape[1]
+    kb_all = _norm_rope(k_ref[0].astype(jnp.float32), ks_ref[:],
+                        c_ref[:], s_ref[:], eps).astype(v_ref.dtype)
+
+    def q_tile(iq, _):
+        r0 = iq * block_q
+        q = _norm_rope(q_ref[0, pl.ds(r0, block_q), :].astype(jnp.float32),
+                       qs_ref[pl.ds(r0, block_q), :],
+                       c_ref[pl.ds(r0, block_q), :],
+                       s_ref[pl.ds(r0, block_q), :], eps) * scale
+        q = q.astype(v_ref.dtype)
+        m = jnp.full((block_q, 1), -1e30, jnp.float32)
+        l = jnp.zeros((block_q, 1), jnp.float32)
+        acc = jnp.zeros((block_q, q_ref.shape[2]), jnp.float32)
+        for i in range(sp // block_k):
+            kb = kb_all[i * block_k:(i + 1) * block_k]
+            vb = v_ref[0, i * block_k:(i + 1) * block_k, :]
+            s = jax.lax.dot_general(
+                q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if need_mask:
+                col = i * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                s = jnp.where(col < kv_len, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+            m = m_new
+        o_ref[0, pl.ds(r0, block_q), :] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, sp // block_q, q_tile, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
-                                             "eps", "interpret"))
+                                             "eps", "interpret", "hoist_k",
+                                             "per_head"))
 def flash_attention_qk_norm_rope(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -571,6 +653,8 @@ def flash_attention_qk_norm_rope(
     block_k: Optional[int] = None,
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
+    hoist_k: Optional[bool] = None,
+    per_head: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fully fused attention: per-head RMSNorm + rotate-half RoPE + online
     softmax, reading/writing the model's native BSHD layout directly (no
@@ -624,9 +708,50 @@ def flash_attention_qk_norm_rope(
     sink = _pad_to(sinp, 0, kv_chunk)
     kspk = _pad_to(ksp, 0, kv_chunk)
     n_chunks = kp.shape[1] // kv_chunk
+    if hoist_k is None:
+        # one whole-chunk K norm+rope pass before the softmax loop, which then
+        # Python-unrolls (static slices of a kernel value). Measured -0.7 ms on
+        # the depth-12 serving step; capped at small unroll counts / moderate
+        # chunk sizes so the whole-chunk fp32 temporaries can't blow the
+        # VMEM stack on long sequences.
+        hoist_k = kv_chunk // block_k <= 8 and kv_chunk <= 4096
+
+    if per_head is None:
+        per_head = False
+    if per_head and n_chunks == 1 and sp // block_q <= 4 and sp <= 4096:
+        seq = lambda ib, ih: (ib, 0, ih)
+        tab = lambda ib, ih: (0, 0)
+        out = pl.pallas_call(
+            functools.partial(_fused_kernel_perhead, block_q=block_q,
+                              block_k=block_k, kv_len=kv_len, scale=scale,
+                              eps=eps, need_mask=kv_len < sp),
+            grid=(b, h),
+            in_specs=[
+                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
+                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
+                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
+                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
+                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sp * sp * d,
+                bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+                transcendentals=b * h * sp * sp,
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, cosk, sink, qsp, kspk)
+        return out[:, :s].reshape(b, s, h, d)
 
     kernel = functools.partial(_fused_kernel, block_k=block_k, kv_len=kv_len,
-                               scale=scale, eps=eps, n_chunks=n_chunks)
+                               scale=scale, eps=eps, n_chunks=n_chunks,
+                               hoist_k=hoist_k)
     if n_chunks == 1:
         grid = (b, h, sp // block_q)
         q3 = lambda ib, ih, iq: (ib, iq, ih)
