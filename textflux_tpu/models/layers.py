@@ -42,21 +42,32 @@ def _dense_w8a8(p, x: jnp.ndarray) -> jnp.ndarray:
     """Dynamic per-token int8 activations x per-output-channel int8 weights,
     accumulated in int32 on the MXU (2x bf16 peak on v5e), rescaled by
     (act_scale * weight_scale). Weight layout: w_q8a8 (..., in, out) int8,
-    scale (..., out) fp32."""
+    scale (..., out) fp32.
+
+    (The activation-quant chain's HBM cost was probed two ways — a one-pass
+    Pallas row-quant kernel, and a full Pallas W8A8 matmul with fused
+    calibration; both measured at-or-worse than this plain XLA chain at the
+    model level. See ARCHITECTURE.md "measured non-wins".)"""
     w_q = p["w_q8a8"]
-    xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
-    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
     if w_q.ndim == 2:
-        lead = xq.shape[:-1]
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        xf = x2.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(
-            xq.reshape(-1, xq.shape[-1]), w_q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).reshape(*lead, w_q.shape[-1])
+            xq, w_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * s * p["scale"][None, :]
+        y = y.reshape(*lead, w_q.shape[-1])
     else:
         # stacked weights (L, in, out) against (L, ..., in) activations
+        xf = x.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
         acc = jnp.einsum("l...i,lio->l...o", xq, w_q,
                          preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * s * p["scale"][..., None, :]
+        y = acc.astype(jnp.float32) * s * p["scale"][..., None, :]
     y = y.astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
