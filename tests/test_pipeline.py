@@ -206,3 +206,17 @@ def test_quantized_pipeline_runs():
     out = pipe(image=img, mask_image=mask, words=["q"], seed=0,
                dtype=jnp.float32, output_type="np")
     assert np.isfinite(out).all()
+
+
+def test_nf4_pipeline_runs():
+    # tiny dims fall back to int8 per-leaf, but hidden-128 leaves engage nf4
+    # in test_quantize; here the mode string plumbs through the pipeline
+    from tests.helpers import tiny_pipeline
+    from textflux_tpu.io.quantize import quantize_tree
+
+    pipe = tiny_pipeline()
+    pipe.flux_params = quantize_tree(pipe.flux_params, min_size=0, mode="nf4")
+    img, mask = _inputs()
+    out = pipe(image=img, mask_image=mask, words=["q"], seed=0,
+               dtype=jnp.float32, output_type="np")
+    assert np.isfinite(out).all()

@@ -110,16 +110,21 @@ def test_overshoot_c_changes_output(pipe, rng):
     assert np.abs(a - b).max() > 0
 
 
-def test_generate_batch_quantized_sharded_matches_unsharded(rng):
-    """shard_for_serving must handle int8-quantized params: the w_q/scale
-    leaves take the dense spec's sharding (adapt_specs_to_params), and the
-    tensor-sharded quantized pipeline matches the unsharded quantized one."""
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["w8a8", "nf4"])
+def test_generate_batch_quantized_sharded_matches_unsharded(rng, mode):
+    """shard_for_serving must handle quantized params: the w_q/w_q8a8/w_nf4
+    + scale/absmax4 leaves take the dense spec's sharding
+    (adapt_specs_to_params), and the tensor-sharded quantized pipeline
+    matches the unsharded quantized one."""
     from textflux_tpu.io.quantize import quantize_tree
     from tests.helpers import tiny_pipeline
 
     qpipe = tiny_pipeline()
     qpipe.flux_params = quantize_tree(qpipe.flux_params, min_size=0,
-                                      mode="w8a8")
+                                      mode=mode)
     images, masks = _inputs(rng, 4)
     words = [["w1"], ["w2"], ["w3"], ["w4"]]
     kw = dict(height=32, width=48, num_inference_steps=2, seed=3,

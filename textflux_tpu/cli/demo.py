@@ -177,7 +177,7 @@ def main():
                    help="int8 DiT + int8 T5 (interactive serving needs all "
                         "models co-resident — fits 24GB+ devices; on a 16GB "
                         "chip use the batch CLIs' --staged-text instead)")
-    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8"],
+    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4"],
                    default="weight_only")
     p.add_argument("--mesh", default=None,
                    help="dp,fsdp,tp — tensor-shard the DiT for co-resident "

@@ -1,10 +1,18 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8 / NF4 quantization for serving.
 
 Why: the 12B FLUX DiT is 23.8GB in bf16 — it does not fit a single 16GB v5e
 chip. Per-output-channel symmetric int8 (w = w_q * scale) halves that to
 ~12GB, fitting single-chip serving; matmul activations stay bf16 and the
 dequant fuses into the matmul operand. Quality: weight-only int8 with
 per-channel scales is the standard low-loss serving quantization.
+
+NF4 (mode "nf4") packs two 4-bit normal-float codes per byte with a bf16
+absmax per 64 input rows — the bitsandbytes NF4 recipe the community runs
+FLUX with on small CUDA cards (block 64, normal-float codebook). It quarters
+the DiT to ~4.6GB so the FULL stack (DiT + int8 T5-XXL + CLIP + VAE) is
+co-resident on one 16GB chip with no staged residency. Quality is measurably
+below int8 (divergence table in ARCHITECTURE.md) — it is the memory mode,
+int8 W8A8 is the speed mode.
 
 The reference's analogous native dependency is bitsandbytes (8-bit optimizer,
 training-side); this is the inference-side counterpart, TPU-native.
@@ -15,15 +23,31 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# bitsandbytes NF4 codebook: the 16 quantiles of N(0, 1) scaled to [-1, 1]
+# (functional.py in bitsandbytes; values are fixed constants of the format)
+NF4_CODEBOOK = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+)
+NF4_BLOCK = 64
+
 
 def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
-    """{'w': (..., in, out), 'b'?} -> int8 leaf dict.
+    """{'w': (..., in, out), 'b'?} -> quantized leaf dict.
 
     mode "weight_only": {'w_q', 'scale', 'b'?} — dequant-on-read into bf16
     matmuls (halves weight HBM traffic; quality table in ARCHITECTURE.md).
     mode "w8a8": {'w_q8a8', 'scale', 'b'?} — layers.dense additionally
     quantizes activations per token and runs the matmul on the int8 MXU
-    (2x bf16 peak on v5e)."""
+    (2x bf16 peak on v5e).
+    mode "nf4": {'w_nf4', 'absmax4', 'b'?} — 4-bit normal-float codes packed
+    two per byte, bf16 absmax per 64 input rows (falls back to weight_only
+    when the in-dim is not a multiple of 128)."""
+    if mode == "nf4":
+        return _quantize_dense_nf4(p)
     w = jnp.asarray(p["w"], jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2)                      # (..., out)
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -33,6 +57,59 @@ def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
     if "b" in p:
         out["b"] = p["b"]
     return out
+
+
+def _quantize_dense_nf4(p: dict) -> dict:
+    w = jnp.asarray(p["w"], jnp.float32)
+    *lead, din, dout = w.shape
+    if din % (2 * NF4_BLOCK) != 0:
+        return quantize_dense(p, "weight_only")
+    g = din // NF4_BLOCK
+    code = jnp.asarray(NF4_CODEBOOK, jnp.float32)
+    wg = w.reshape(*lead, g, NF4_BLOCK, dout)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2), 1e-8)  # (..., g, out)
+    x = wg / absmax[..., None, :]
+    # nearest code via digitize over the 15 midpoints (codebook is sorted);
+    # an argmin over a broadcast (..., 16) temp would need 16x the weight
+    # memory at full width
+    mids = (code[1:] + code[:-1]) / 2.0
+    idx = jnp.digitize(x, mids)
+    idx = idx.reshape(*lead, din, dout).astype(jnp.uint8)
+    # HALF-SPLIT packing: low nibble holds row r, high nibble row r + din/2.
+    # Dequant then never interleaves (a 2-stride row interleave forced a
+    # strided bf16 materialization before every matmul: measured 303 ms vs
+    # 141 ms int8 at full depth); layers.dense splits the matmul into
+    # x_top @ w_top + x_bottom @ w_bottom instead.
+    half = din // 2
+    lo, hi = idx[..., :half, :], idx[..., half:, :]
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)
+    out = {"w_nf4": packed, "absmax4": absmax.astype(jnp.bfloat16)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def nf4_halves(p: dict, dtype=jnp.bfloat16):
+    """Dequantize a {'w_nf4', 'absmax4'} leaf into its two row-halves
+    ((..., in/2, out) each — see the half-split note in _quantize_dense_nf4)."""
+    packed = p["w_nf4"]
+    *lead, half, dout = packed.shape
+    g2 = half // NF4_BLOCK
+    code = jnp.asarray(NF4_CODEBOOK, jnp.float32)
+    am = p["absmax4"].astype(jnp.float32)
+    am_top, am_bot = am[..., :g2, :], am[..., g2:, :]
+    halves = []
+    for nib, am_h in (((packed & 0xF), am_top), ((packed >> 4) & 0xF, am_bot)):
+        vals = code[nib.astype(jnp.int32)].reshape(*lead, g2, NF4_BLOCK, dout)
+        vals = vals * am_h[..., None, :]
+        halves.append(vals.reshape(*lead, half, dout).astype(dtype))
+    return halves[0], halves[1]
+
+
+def nf4_weight(p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantize a {'w_nf4', 'absmax4'} leaf back to (..., in, out)."""
+    top, bot = nf4_halves(p, dtype)
+    return jnp.concatenate([top, bot], axis=-2)
 
 
 def _is_dense(p) -> bool:
@@ -57,9 +134,12 @@ def quantize_tree(params, *, min_size: int = 1 << 16, mode: str = "weight_only")
 
 
 def dequantize_dense(p: dict, dtype=jnp.bfloat16) -> dict:
-    w_q = p["w_q"] if "w_q" in p else p["w_q8a8"]
-    w = w_q.astype(jnp.float32) * p["scale"][..., None, :]
-    out = {"w": w.astype(dtype)}
+    if "w_nf4" in p:
+        out = {"w": nf4_weight(p, dtype)}
+    else:
+        w_q = p["w_q"] if "w_q" in p else p["w_q8a8"]
+        w = w_q.astype(jnp.float32) * p["scale"][..., None, :]
+        out = {"w": w.astype(dtype)}
     if "b" in p:
         out["b"] = p["b"]
     return out

@@ -30,6 +30,18 @@ def dense(p, x: jnp.ndarray) -> jnp.ndarray:
         # weight-only int8: per-output-column scales, dequant fused into the
         # matmul producer (halves weight HBM footprint/traffic)
         w = p["w_q"].astype(x.dtype) * p["scale"][..., None, :].astype(x.dtype)
+    elif "w_nf4" in p:
+        # NF4 memory mode: codebook lookup + per-64-row absmax (quarter
+        # weight footprint). Half-split packing -> two clean matmuls, no
+        # row interleave (io/quantize.py)
+        from textflux_tpu.io.quantize import nf4_halves
+
+        w_top, w_bot = nf4_halves(p, x.dtype)
+        half = w_top.shape[-2]
+        y = x[..., :half] @ w_top + x[..., half:] @ w_bot
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     else:
         w = p["w"].astype(x.dtype)
     y = x @ w

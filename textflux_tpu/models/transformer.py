@@ -263,9 +263,20 @@ def flux_vec(params, cfg: FluxConfig, timestep, guidance, pooled, dtype=jnp.bflo
 def _dense_stacked(p, x: jnp.ndarray) -> jnp.ndarray:
     """Apply stacked per-layer dense weights (L, D_in, D_out) to a shared
     input x (B, D_in) -> (L, B, D_out); handles bf16 / int8 leaf layouts."""
-    n_layers = (p.get("w") if "w" in p else p.get("w_q", p.get("w_q8a8"))).shape[0]
-    xb = jnp.broadcast_to(x[None], (n_layers,) + x.shape)
-    y = dense({k: v for k, v in p.items() if k != "b"}, xb)
+    wl = next(p[k] for k in ("w", "w_q", "w_q8a8", "w_nf4") if k in p)
+    n_layers = wl.shape[0]
+    if "w_nf4" in p:
+        # dequantize one layer at a time: a stacked dequant would
+        # materialize ALL layers' bf16 weights at once (the mods stack is
+        # 27% of the DiT -> ~6.5 GB, an instant OOM next to the resident
+        # params); mods run once per image so the scan costs nothing
+        def layer(_, pl_):
+            return None, dense(pl_, x)
+        _, y = jax.lax.scan(layer, None,
+                            {k: v for k, v in p.items() if k != "b"})
+    else:
+        xb = jnp.broadcast_to(x[None], (n_layers,) + x.shape)
+        y = dense({k: v for k, v in p.items() if k != "b"}, xb)
     if "b" in p:  # stacked bias (L, D_out) aligns against (L, B, D_out)
         y = y + p["b"][:, None, :].astype(y.dtype)
     return y

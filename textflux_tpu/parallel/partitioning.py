@@ -111,10 +111,18 @@ def adapt_specs_to_params(specs, params):
             sspec = P(*wspec[:-2], wspec[-1]) if n >= 2 else P()
             out = {}
             for k in p:
-                if k in ("w_q", "w_q8a8"):
+                if k in ("w_q", "w_q8a8", "w_nf4"):
+                    # w_nf4 packs two in-rows per byte and absmax4 is one row
+                    # per 64 — both keep w's axis layout, so the same specs
+                    # shard them (axis sizes stay divisible: tp shards the
+                    # out dim; an in-dim shard would need in/2 divisible,
+                    # which holds for all 128-multiple layers)
                     out[k] = wspec
                 elif k == "scale":
                     out[k] = sspec
+                elif k == "absmax4":
+                    # (..., in/64, out): same rank/axis layout as w
+                    out[k] = wspec
                 else:  # bias
                     out[k] = s.get("b", P())
             return out
