@@ -257,3 +257,42 @@ def test_full_width_nf4_divergence_bounded(rng):
     assert quantized_bytes(params_n4) < 0.35 * quantized_bytes(params_bf)
     assert rel < 0.25, rel
     print(f"nf4 full-width velocity rel err: {rel:.4f}")
+
+
+def test_nf4_half_permuted_fused_path(rng):
+    """NF4 leaves must survive half_permute_flux_params (the fused-attention
+    load transform on real TPU): w_nf4/absmax4 take the same out-column
+    gather as w. Regression: the key filter once dropped them, crashing
+    NF4 + attn_impl='fused' at the first denoise step."""
+    from textflux_tpu.config import FluxConfig
+    from textflux_tpu.models.transformer import half_permute_flux_params
+    from textflux_tpu.ops.rope import rope_tables, rope_tables_half
+
+    cfg = FluxConfig(num_double_layers=1, num_single_layers=1, num_heads=1,
+                     head_dim=128, joint_dim=64, pooled_dim=32,
+                     in_channels=64, guidance_embeds=True,
+                     axes_dims_rope=(32, 48, 48))
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_tree(params, min_size=1 << 8, mode="nf4")
+    pparams = half_permute_flux_params(qparams, cfg)
+    # permuted qkv leaves keep the quantized layout
+    assert "w_nf4" in pparams["double"]["img_qkv"]
+    assert "absmax4" in pparams["single"]["linear1"]
+
+    t_txt, lat_h, lat_w = 8, 8, 8
+    t_img = (lat_h // 2) * (lat_w // 2)
+    ids = np.concatenate([packing.text_ids(t_txt),
+                          packing.latent_image_ids(lat_h, lat_w)], 0)
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    cos_h, sin_h = rope_tables_half(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 30.0, jnp.float32)
+    ref = flux_apply(qparams, cfg, img, txt, pooled, t, g,
+                     jnp.asarray(cos), jnp.asarray(sin), attn_impl="xla")
+    out = flux_apply(pparams, cfg, img, txt, pooled, t, g,
+                     jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel

@@ -110,9 +110,6 @@ def test_overshoot_c_changes_output(pipe, rng):
     assert np.abs(a - b).max() > 0
 
 
-import pytest
-
-
 @pytest.mark.parametrize("mode", ["w8a8", "nf4"])
 def test_generate_batch_quantized_sharded_matches_unsharded(rng, mode):
     """shard_for_serving must handle quantized params: the w_q/w_q8a8/w_nf4

@@ -6,10 +6,10 @@ chip. Per-output-channel symmetric int8 (w = w_q * scale) halves that to
 dequant fuses into the matmul operand. Quality: weight-only int8 with
 per-channel scales is the standard low-loss serving quantization.
 
-NF4 (mode "nf4") packs two 4-bit normal-float codes per byte with a bf16
+NF4 (mode "nf4") packs two 4-bit normal-float codes per byte with an f32
 absmax per 64 input rows — the bitsandbytes NF4 recipe the community runs
-FLUX with on small CUDA cards (block 64, normal-float codebook). It quarters
-the DiT to ~4.6GB so the FULL stack (DiT + int8 T5-XXL + CLIP + VAE) is
+FLUX with on small CUDA cards (block 64, normal-float codebook). It cuts
+the DiT to 6.24 GiB so the FULL stack (DiT + int8 T5-XXL + CLIP + VAE) is
 co-resident on one 16GB chip with no staged residency. Quality is measurably
 below int8 (divergence table in ARCHITECTURE.md) — it is the memory mode,
 int8 W8A8 is the speed mode.
@@ -44,7 +44,7 @@ def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
     quantizes activations per token and runs the matmul on the int8 MXU
     (2x bf16 peak on v5e).
     mode "nf4": {'w_nf4', 'absmax4', 'b'?} — 4-bit normal-float codes packed
-    two per byte, bf16 absmax per 64 input rows (falls back to weight_only
+    two per byte, f32 absmax per 64 input rows (falls back to weight_only
     when the in-dim is not a multiple of 128)."""
     if mode == "nf4":
         return _quantize_dense_nf4(p)
@@ -83,7 +83,10 @@ def _quantize_dense_nf4(p: dict) -> dict:
     half = din // 2
     lo, hi = idx[..., :half, :], idx[..., half:, :]
     packed = ((hi & 0xF) << 4) | (lo & 0xF)
-    out = {"w_nf4": packed, "absmax4": absmax.astype(jnp.bfloat16)}
+    # f32 absmax: the codes were chosen against the f32 scale, and a bf16
+    # absmax would rescale every block by up to 2^-8 relative (bnb also
+    # stores fp32); costs 0.25 GiB on the 12B DiT
+    out = {"w_nf4": packed, "absmax4": absmax}
     if "b" in p:
         out["b"] = p["b"]
     return out

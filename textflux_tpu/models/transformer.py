@@ -405,8 +405,12 @@ def half_permute_flux_params(params, cfg: FluxConfig):
     def permute_qkv(p, extra_cols: int = 0):
         idx = np.concatenate([per_head, d + per_head,
                               2 * d + np.arange(d + extra_cols)])
+        # every quantized-leaf layout keeps the out dim last, so one gather
+        # covers them all (w_nf4 packs along the IN dim, absmax4 groups it —
+        # their out axes are untouched by packing)
         out = {k: v[..., idx] for k, v in p.items()
-               if k in ("w", "w_q", "w_q8a8", "scale", "b")}
+               if k in ("w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4",
+                        "b")}
         return out
 
     out = dict(params)

@@ -168,6 +168,11 @@ def flash_attention(
         vt = _pad_to(vt, 2, kv_chunk)
         sk = sk_pad
     n_chunks = sk // kv_chunk
+    if kv_chunk % block_k or sq % block_q:
+        raise ValueError(
+            f"blocks (q={block_q}, k={block_k}) must divide the padded "
+            f"sequence/chunk ({sq}/{kv_chunk}): floored trip counts would "
+            "silently drop tail tokens")
     kernel = functools.partial(_flash_kernel, block_k=block_k, kv_len=kv_len,
                                scale=scale, n_chunks=n_chunks)
     if n_chunks == 1:
@@ -398,6 +403,11 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
     kv_chunk = sp if chunk is None else chunk
     n_chunks = sp // kv_chunk
 
+    if kv_chunk % block_k or kv_chunk % block_q or sp % block_q or sp % block_k:
+        raise ValueError(
+            f"blocks (q={block_q}, k={block_k}) must divide the padded "
+            f"sequence ({sp}) and chunk ({kv_chunk}): floored trip counts "
+            "would silently drop tail tokens")
     if n_chunks == 1:
         g3 = lambda fn: (lambda ib, ih, i: fn(ib, ih, i))
         grid_tail = ()
@@ -489,7 +499,8 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
 def _norm_rope(x, cos2, sin2, eps: float):
     """fp32 per-head RMSNorm + rotate-half RoPE on a (rows, D) tile.
 
-    cos2/sin2 are the FOLDED tables from _fold_tables: the learned RMSNorm
+    cos2/sin2 are the FOLDED tables built in flash_attention_qk_norm_rope
+    (cos2 = scale*cos, sin2 = sign*roll(scale)*sin): the learned RMSNorm
     scale and the rotate-half sign live inside them, so the kernel does only
     var -> rsqrt -> roll -> 2 mul + add (the per-tile iota/sign build and the
     separate scale multiply measured ~0.9 ms/depth-12 step on the VPU).
@@ -714,8 +725,11 @@ def flash_attention_qk_norm_rope(
     kv_chunk = sp if sp <= 6144 else 2048
     kp = _pad_to(kp, 1, kv_chunk)
     vp = _pad_to(vp, 1, kv_chunk)
-    cos_k = _pad_to(cos_k, 0, max(blk, kv_chunk))
-    sin_k = _pad_to(sin_k, 0, max(blk, kv_chunk))
+    # two-stage pad (blk, then kv_chunk) so the K tables ALWAYS match kp's
+    # row count — a single pad to max(blk, kv_chunk) under-pads when blk
+    # does not divide kv_chunk (e.g. custom 1792-blocks at s=5400)
+    cos_k = _pad_to(_pad_to(cos_k, 0, blk), 0, kv_chunk)
+    sin_k = _pad_to(_pad_to(sin_k, 0, blk), 0, kv_chunk)
     n_chunks = kp.shape[1] // kv_chunk
     if hoist_k is None:
         # one whole-chunk K norm+rope pass before the softmax loop, which then
@@ -725,8 +739,18 @@ def flash_attention_qk_norm_rope(
         # VMEM stack on long sequences.
         hoist_k = kv_chunk // block_k <= 8 and kv_chunk <= 4096
 
+    if kv_chunk % block_k:
+        raise ValueError(
+            f"block_k={block_k} must divide the resident K chunk "
+            f"({kv_chunk}): the softmax loop floors the trip count and "
+            "would silently drop tail keys")
+    if sp % block_q:
+        raise ValueError(f"block_q={block_q} must divide the padded "
+                         f"sequence ({sp})")
     if per_head is None:
         per_head = False
+    # per_head is a HINT: outside its envelope (single-pass, few q tiles,
+    # VMEM-resident sequence) the streaming kernel runs instead
     if per_head and n_chunks == 1 and sp // block_q <= 4 and sp <= 4096:
         seq = lambda ib, ih: (ib, 0, ih)
         tab = lambda ib, ih: (0, 0)
