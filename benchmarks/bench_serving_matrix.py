@@ -22,13 +22,18 @@ def zero_params(cfg, mode):
     from textflux_tpu.models.transformer import init_flux_params
 
     shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-    key = {"weight_only": "w_q", "w8a8": "w_q8a8"}[mode]
+    key = {"weight_only": "w_q", "w8a8": "w_q8a8", "nf4": "w_nf4"}[mode]
     def build(tree):
         out = {}
         for k, v in tree.items():
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16):
-                q = {key: jnp.zeros(v["w"].shape, jnp.int8),
-                     "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
+            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16)                     and (mode != "nf4" or v["w"].shape[-2] % 128 == 0):
+                if mode == "nf4":
+                    *lead, din, dout = v["w"].shape
+                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8),
+                         "absmax4": jnp.full((*lead, din // 64, dout), 1e-2, jnp.float32)}
+                else:
+                    q = {key: jnp.zeros(v["w"].shape, jnp.int8),
+                         "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
                 if "b" in v:
                     q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
                 out[k] = q
@@ -72,7 +77,7 @@ def bench(mode, batch):
     gc.collect()
     return t
 
-for mode in ("weight_only", "w8a8"):
+for mode in ("weight_only", "w8a8", "nf4"):
     for batch in (1, 4, 8):
         try:
             t = bench(mode, batch)
