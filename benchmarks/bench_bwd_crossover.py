@@ -42,7 +42,7 @@ def bench_seq(S):
             out[name] = f"FAILED {type(e).__name__}: {str(e)[:120]}"
     return out
 
-for S in (1024, 2048, 4096, 8192, 16384):
+for S in (1024, 1536, 1696, 2048, 4096, 8192, 16384):
     r = bench_seq(S)
     def fmt(v):
         return f"{v*1000:8.2f} ms" if isinstance(v, float) else str(v)

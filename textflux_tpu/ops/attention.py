@@ -68,13 +68,17 @@ def _flash_fwd(q, k, v, kv_len):
 
 # Backward-path crossover, set from v5e measurements (B=1, H=24, D=128,
 # bf16; fwd+bwd per call — full table in ARCHITECTURE.md):
-#   S=2048: xla-recompute 4.05 ms vs pallas 1.70 ms
-#   S=4096:              15.13 ms vs        4.37 ms
-#   S=8192:             699.26 ms vs       16.01 ms   (XLA spills the SxS scores)
-# The pallas backward kernels win from ~2k tokens and keep memory O(S); below
-# this threshold both paths are sub-millisecond and XLA-recompute avoids the
-# kernels' block-padding waste on tiny shapes.
-PALLAS_BWD_MIN_SEQ = 1024
+#   S=1024: xla-recompute 0.48 ms vs pallas 1.14 ms  (XLA wins)
+#   S=1536:               2.47 ms vs        0.72 ms
+#   S=1696:               3.10 ms vs        1.12 ms  (the training seq)
+#   S=2048:               4.12 ms vs        1.25 ms
+#   S=4096:              16.88 ms vs        5.12 ms
+#   S=8192:             697.33 ms vs       19.85 ms  (XLA spills the SxS scores)
+#   S=16384:     fails to compile vs      119.36 ms
+# (re-measured after the static kv_len mask elision.) The pallas backward
+# kernels win from ~1.5k tokens and keep memory O(S); below the threshold
+# XLA-recompute avoids the kernels' block-padding waste on tiny shapes.
+PALLAS_BWD_MIN_SEQ = 1280
 
 
 def _flash_bwd(kv_len, res, g):
