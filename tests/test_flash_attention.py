@@ -293,11 +293,9 @@ def test_auto_block_selection():
     assert (-(-s // b) * b) - s < b
 
 
-@pytest.mark.parametrize("variant", ["hoist_on", "hoist_off", "per_head"])
-def test_fused_variants_match(rng, variant):
-    """The hoisted-K and per-head fused kernels must match the streaming
-    kernel exactly (same f32 math, different scheduling), with and without
-    kv_len masking."""
+def test_fused_hoist_variants_match(rng):
+    """The hoisted-K fused kernel must match the streaming kernel exactly
+    (same f32 math, different scheduling), with and without kv_len masking."""
     from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
 
     b, s, h, d = 1, 320, 2, 128
@@ -308,15 +306,28 @@ def test_fused_variants_match(rng, variant):
     sin = jnp.asarray(rng.standard_normal((s, d)), jnp.float32)
     qs = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
     ks = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
-    kw = {"hoist_on": {"hoist_k": True}, "hoist_off": {"hoist_k": False},
-          "per_head": {"per_head": True}}[variant]
     for kv_len in (None, 300):  # exact fit (mask skipped) and masked
         ref = flash_attention_qk_norm_rope(
             q, k, v, cos, sin, qs, ks, kv_len=kv_len, block_q=160, block_k=80,
             hoist_k=False)
         out = flash_attention_qk_norm_rope(
             q, k, v, cos, sin, qs, ks, kv_len=kv_len, block_q=160, block_k=80,
-            **kw)
+            hoist_k=True)
         real = kv_len or s
         np.testing.assert_allclose(np.asarray(out[:, :real]),
                                    np.asarray(ref[:, :real]), atol=1e-6)
+
+
+def test_hoist_k_explicit_outside_envelope_errors(rng):
+    """An explicit hoist_k=True outside the measured envelope must error
+    rather than silently unrolling whole-chunk fp32 temporaries."""
+    from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
+
+    b, s, h, d = 1, 1280, 1, 128
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    cos = jnp.zeros((s, d), jnp.float32)
+    sin = jnp.zeros((s, d), jnp.float32)
+    qs = jnp.ones((d,), jnp.float32)
+    with pytest.raises(ValueError, match="hoist_k=True outside"):
+        flash_attention_qk_norm_rope(
+            q, q, q, cos, sin, qs, qs, block_q=128, block_k=128, hoist_k=True)

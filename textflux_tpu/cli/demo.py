@@ -174,11 +174,15 @@ def main():
     p.add_argument("--beta", action="store_true")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--quantize", action="store_true",
-                   help="int8 DiT + int8 T5 (interactive serving needs all "
-                        "models co-resident — fits 24GB+ devices; on a 16GB "
-                        "chip use the batch CLIs' --staged-text instead)")
+                   help="quantized DiT + int8 T5 for co-resident interactive "
+                        "serving. The int8 modes (weight_only/w8a8) fit 24GB+ "
+                        "devices; --quantize-mode nf4 fits the FULL stack on "
+                        "a 16GB chip (the interactive-demo mode — slower and "
+                        "lower quality than int8). For batch work on 16GB "
+                        "prefer the batch CLIs' --staged-text")
     p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4"],
-                   default="weight_only")
+                   default="weight_only",
+                   help="nf4 = 4-bit DiT, whole stack co-resident on 16GB")
     p.add_argument("--mesh", default=None,
                    help="dp,fsdp,tp — tensor-shard the DiT for co-resident "
                         "bf16 serving on a multi-chip slice")

@@ -598,59 +598,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
         acc_scr[...] = acc
 
 
-def _fused_kernel_perhead(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
-                          o_ref, *, block_q: int, block_k: int,
-                          kv_len: int, scale: float, eps: float,
-                          need_mask: bool):
-    """Single-pass per-(batch, head) program: the normed+roped K is computed
-    ONCE and shared by every q-tile (the per-q-block grid recomputes it per
-    tile). The rope tables are passed once and shared by the q and k norms
-    (the streaming kernel binds them twice — that alone is 1.7 MB of VMEM at
-    S=1696). The q loop is a fori_loop (refs slice dynamically; a Python
-    unroll kept every tile's score temporaries live at once and blew the
-    Mosaic stack); only the K loop over the kb_all *value* is static."""
-    sp = q_ref.shape[1]
-    kb_all = _norm_rope(k_ref[0].astype(jnp.float32),
-                        ck_ref[:], sk_ref[:], eps).astype(v_ref.dtype)
-
-    def q_tile(iq, _):
-        r0 = iq * block_q
-        q = _norm_rope(q_ref[0, pl.ds(r0, block_q), :].astype(jnp.float32),
-                       cq_ref[pl.ds(r0, block_q), :],
-                       sq_ref[pl.ds(r0, block_q), :], eps) * scale
-        q = q.astype(v_ref.dtype)
-        m = jnp.full((block_q, 1), -1e30, jnp.float32)
-        l = jnp.zeros((block_q, 1), jnp.float32)
-        acc = jnp.zeros((block_q, q_ref.shape[2]), jnp.float32)
-        for i in range(sp // block_k):
-            kb = kb_all[i * block_k:(i + 1) * block_k]
-            vb = v_ref[0, i * block_k:(i + 1) * block_k, :]
-            s = jax.lax.dot_general(
-                q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if need_mask:
-                col = i * block_k + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 1)
-                s = jnp.where(col < kv_len, s, -1e30)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = acc * alpha + pv
-            m = m_new
-        o_ref[0, pl.ds(r0, block_q), :] = (
-            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, sp // block_q, q_tile, 0)
-
-
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
-                                             "eps", "interpret", "hoist_k",
-                                             "per_head"))
+                                             "eps", "interpret", "hoist_k"))
 def flash_attention_qk_norm_rope(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -666,7 +615,6 @@ def flash_attention_qk_norm_rope(
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
     hoist_k: Optional[bool] = None,
-    per_head: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fully fused attention: per-head RMSNorm + rotate-half RoPE + online
     softmax, reading/writing the model's native BSHD layout directly (no
@@ -731,13 +679,22 @@ def flash_attention_qk_norm_rope(
     cos_k = _pad_to(_pad_to(cos_k, 0, blk), 0, kv_chunk)
     sin_k = _pad_to(_pad_to(sin_k, 0, blk), 0, kv_chunk)
     n_chunks = kp.shape[1] // kv_chunk
+    # hoist_k: one whole-chunk K norm+rope pass before the softmax loop, which
+    # then Python-unrolls (static slices of a kernel value). Measured -0.7 ms
+    # on the depth-12 serving step; capped at small unroll counts / moderate
+    # chunk sizes so the whole-chunk fp32 temporaries can't blow the VMEM
+    # stack on long sequences. The cap applies to an explicit hoist_k=True
+    # too (it errors instead of silently unrolling outside the envelope).
+    hoist_ok = kv_chunk // block_k <= 8 and kv_chunk <= 4096
     if hoist_k is None:
-        # one whole-chunk K norm+rope pass before the softmax loop, which then
-        # Python-unrolls (static slices of a kernel value). Measured -0.7 ms on
-        # the depth-12 serving step; capped at small unroll counts / moderate
-        # chunk sizes so the whole-chunk fp32 temporaries can't blow the
-        # VMEM stack on long sequences.
-        hoist_k = kv_chunk // block_k <= 8 and kv_chunk <= 4096
+        hoist_k = hoist_ok
+    elif hoist_k and not hoist_ok:
+        raise ValueError(
+            f"hoist_k=True outside the measured envelope (kv_chunk={kv_chunk},"
+            f" block_k={block_k}): the Python-unrolled softmax loop would hold"
+            f" {kv_chunk // block_k} whole-chunk fp32 temporaries and risk a"
+            " Mosaic stack/VMEM blow-up; use hoist_k=None (auto) or shrink the"
+            " chunk")
 
     if kv_chunk % block_k:
         raise ValueError(
@@ -747,41 +704,9 @@ def flash_attention_qk_norm_rope(
     if sp % block_q:
         raise ValueError(f"block_q={block_q} must divide the padded "
                          f"sequence ({sp})")
-    if per_head is None:
-        per_head = False
-    # per_head is a HINT: outside its envelope (single-pass, few q tiles,
-    # VMEM-resident sequence) the streaming kernel runs instead
-    if per_head and n_chunks == 1 and sp // block_q <= 4 and sp <= 4096:
-        seq = lambda ib, ih: (ib, 0, ih)
-        tab = lambda ib, ih: (0, 0)
-        out = pl.pallas_call(
-            functools.partial(_fused_kernel_perhead, block_q=block_q,
-                              block_k=block_k, kv_len=kv_len, scale=scale,
-                              eps=eps, need_mask=kv_len < sp),
-            grid=(b, h),
-            in_specs=[
-                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
-                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
-                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
-                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
-                pl.BlockSpec((sp, d), tab, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, sp, d), seq, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=4 * b * h * sp * sp * d,
-                bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
-                transcendentals=b * h * sp * sp,
-            ),
-            interpret=interpret,
-        )(qp, kp, vp, cos_q, sin_q, cos_k, sin_k)
-        return out[:, :s].reshape(b, s, h, d)
-
+    # A per-(batch, head) variant sharing the normed K across q-tiles was
+    # measured neutral at S=1696 (round 2) and removed (round 3): the hoisted
+    # whole-chunk K pass above already deduplicates the K prep per program.
     kernel = functools.partial(_fused_kernel, block_k=block_k, kv_len=kv_len,
                                scale=scale, eps=eps, n_chunks=n_chunks,
                                hoist_k=hoist_k)
