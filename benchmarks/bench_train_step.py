@@ -77,12 +77,105 @@ def bench(nd, ns):
     gc.collect()
     return t
 
-depths = [(2, 4), (4, 4), (2, 8)]
-times = [bench(nd, ns) for nd, ns in depths]
-A = np.array([[1, nd, ns] for nd, ns in depths], float)
-c, td, ts = np.linalg.solve(A, np.array(times))
-full = c + 19 * td + 38 * ts
-print(f"intercept (VAE+packing+opt) = {c*1000:.1f} ms, per-double = {td*1000:.1f} ms, "
-      f"per-single = {ts*1000:.1f} ms")
-print(f"projected full 19+38 train step (B=1, 1696 tokens, attn-only, remat): "
-      f"{full*1000:.0f} ms -> {1/full:.2f} steps/s")
+def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
+                           nd=19, ns=38):
+    """MEASURED full-depth 19+38 LoRA train step on one chip: the frozen base
+    is serve-quantized (NF4 = 6.24 GiB / int8 = 11.1 GiB vs 22.2 bf16), the
+    rank-128 LoRA factors train in fp32 via the parallel-branch formulation
+    (training.train.lora_insert) — no depth extrapolation.
+    Reference config: scripts/train_lora.py:508-534 (rank 128)."""
+    from textflux_tpu.io.quantize import quantized_bytes
+
+    cfg = FluxConfig(num_double_layers=nd, num_single_layers=ns)
+    tc = TR.TrainConfig(grad_accum=1, lora_rank=rank, lora_alpha=float(rank),
+                        optimizer="adamw8bit" if use_8bit_adam else "adamw",
+                        excluded_single_layers=())
+
+    # timing-equivalent zero base straight in the quantized layout (a real
+    # checkpoint would be quantized from bf16 on load; values don't affect
+    # step time)
+    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+
+    def zero_q(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 \
+                    and v["w"].size >= (1 << 16):
+                din, dout = v["w"].shape[-2], v["w"].shape[-1]
+                lead = v["w"].shape[:-2]
+                if quantize_base == "nf4" and din % 128 == 0:
+                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8),
+                         "absmax4": jnp.full((*lead, din // 64, dout), 1e-2, jnp.float32)}
+                else:
+                    key = "w_q"
+                    q = {key: jnp.zeros(v["w"].shape, jnp.int8),
+                         "scale": jnp.full((*lead, dout), 1e-2, jnp.float32)}
+                if "b" in v:
+                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
+                out[k] = q
+            elif isinstance(v, dict):
+                out[k] = zero_q(v)
+            else:
+                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
+        return out
+
+    base = zero_q(shapes)
+    print(f"qlora base ({quantize_base}): {quantized_bytes(base)/2**30:.2f} GiB")
+    lora = {
+        g: {name: {"a": jnp.zeros(shapes[g][name]["w"].shape[:-1] + (rank,),
+                                  jnp.float32),
+                   "b": jnp.zeros(shapes[g][name]["w"].shape[:-2]
+                                  + (rank, shapes[g][name]["w"].shape[-1]),
+                                  jnp.float32)}
+            for name in names}
+        for g, names in (("double", TR.LORA_TARGETS_DOUBLE),
+                         ("single", TR.LORA_TARGETS_SINGLE))
+    }
+    n_lora = sum(int(x.size) for x in jax.tree.leaves(lora))
+    print(f"lora params: {n_lora/1e6:.0f}M fp32 ({n_lora*4/2**30:.2f} GiB)")
+
+    tx = TR.make_optimizer(tc)
+    step = TR.make_lora_train_step(cfg, vae_cfg, tc, tx, attn_impl="pallas")
+    opt_state = tx.init(lora)
+    jitted = jax.jit(step, donate_argnums=(1, 2))
+
+    import time
+
+    def run(iters, lora, opt_state):
+        for _ in range(iters):
+            lora, opt_state, metrics = jitted(base, lora, opt_state, vae_params,
+                                              batch, jax.random.PRNGKey(7))
+        np.asarray(jnp.sum(jax.tree.leaves(lora)[0][0, :1, :1].astype(jnp.float32)))
+        return lora, opt_state
+
+    t0 = time.perf_counter()
+    lora, opt_state = run(1, lora, opt_state)   # compile
+    print(f"compile+first step: {time.perf_counter()-t0:.1f} s")
+    ts = []
+    for iters in (4, 12):
+        t0 = time.perf_counter()
+        lora, opt_state = run(iters, lora, opt_state)
+        ts.append((iters, time.perf_counter() - t0))
+    t = (ts[1][1] - ts[0][1]) / (ts[1][0] - ts[0][0])
+    print(f"MEASURED full-depth ({nd}+{ns}) QLoRA train step "
+          f"(base={quantize_base}, rank {rank}, B=1, 1696 tokens, remat, "
+          f"{'8-bit' if use_8bit_adam else 'fp32'} Adam): "
+          f"{t*1000:.0f} ms -> {1/t:.2f} steps/s")
+    return t
+
+
+if __name__ == "__main__":
+    if "--qlora" in sys.argv:
+        mode = "weight_only" if "--int8" in sys.argv else "nf4"
+        bench_qlora_full_depth(quantize_base=mode,
+                               use_8bit_adam="--fp32-adam" not in sys.argv)
+        sys.exit(0)
+    depths = [(2, 4), (4, 4), (2, 8)]
+    times = [bench(nd, ns) for nd, ns in depths]
+    A = np.array([[1, nd, ns] for nd, ns in depths], float)
+    c, td, ts = np.linalg.solve(A, np.array(times))
+    full = c + 19 * td + 38 * ts
+    print(f"intercept (VAE+packing+opt) = {c*1000:.1f} ms, per-double = {td*1000:.1f} ms, "
+          f"per-single = {ts*1000:.1f} ms")
+    print(f"projected full 19+38 train step (B=1, 1696 tokens, attn-only, remat): "
+          f"{full*1000:.0f} ms -> {1/full:.2f} steps/s")

@@ -166,3 +166,69 @@ def test_trainable_leaves_stop_gradient_parity():
     assert l_full == l_fast
     for a, b in zip(jax.tree.leaves(p_full), jax.tree.leaves(p_fast)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_lora_insert_matches_merge_gradients(rng):
+    """QLoRA formulation check: gradients of the flow-matching loss w.r.t. the
+    LoRA factors are IDENTICAL whether the factors are folded into the base
+    (lora_merge, reference semantics) or attached as a parallel low-rank
+    branch (lora_insert, the trainable formulation) — same math, different
+    association order (fp32 tolerance)."""
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=8.0)
+    lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, tc.lora_rank)
+    # non-zero B so both branches actually contribute
+    lora = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(9), x.shape), lora)
+    scale = tc.lora_alpha / tc.lora_rank
+    batch = jax.tree.map(lambda x: x[0], _batch(rng, accum=1))
+    key = jax.random.PRNGKey(4)
+
+    def loss_via(combine):
+        def f(lora):
+            return TR.flow_matching_loss(
+                combine(params, lora, scale), FLUX_TINY, vae_params, VAE_TINY,
+                tc, batch, key, attn_impl="xla")
+        return jax.jit(jax.value_and_grad(f))(lora)
+
+    l_merge, g_merge = loss_via(TR.lora_merge)
+    l_insert, g_insert = loss_via(TR.lora_insert)
+    np.testing.assert_allclose(float(l_merge), float(l_insert), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_merge), jax.tree.leaves(g_insert)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_qlora_step_over_quantized_base(rng):
+    """The LoRA train step must run over an int8 weight-only frozen base
+    (the single-chip 12B configuration) and move the factors."""
+    from textflux_tpu.io.quantize import quantize_tree
+
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    qbase = quantize_tree(params, min_size=0, mode="weight_only")
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=4.0,
+                        learning_rate=1e-3)
+    lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, tc.lora_rank)
+    tx = TR.make_optimizer(tc)
+    step = jax.jit(TR.make_lora_train_step(FLUX_TINY, VAE_TINY, tc, tx,
+                                           attn_impl="xla"))
+    opt_state = tx.init(lora)
+    new_lora, opt_state, metrics = step(qbase, lora, opt_state, vae_params,
+                                        _batch(rng, accum=1), jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.abs(np.asarray(new_lora["double"]["img_qkv"]["b"])).max() > 0
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_qlora_w8a8_base_raises(rng):
+    """w8a8's activation-quant round() has zero gradient — LoRA over it must
+    be rejected, not silently trained with a broken dL/dx."""
+    from textflux_tpu.io.quantize import quantize_tree
+
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    qbase = quantize_tree(params, min_size=0, mode="w8a8")
+    lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, 4)
+    with pytest.raises(ValueError, match="w8a8"):
+        TR.lora_insert(qbase, lora, 1.0)

@@ -40,6 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--mode", choices=["attn", "all", "lora"], default="attn")
     p.add_argument("--lora-rank", type=int, default=128)
     p.add_argument("--lora-alpha", type=float, default=128.0)
+    p.add_argument("--quantize-base", choices=["none", "weight_only", "nf4"],
+                   default="none",
+                   help="LoRA mode only: serve-quantize the FROZEN base DiT "
+                        "(int8 weight-only or NF4) so the full-depth 12B LoRA "
+                        "step fits a single 16GB chip (QLoRA-equivalent); the "
+                        "LoRA branch itself trains in fp32")
     p.add_argument("--learning-rate", type=float, default=2e-5)
     p.add_argument("--optimizer", choices=["adamw", "adamw8bit", "prodigy"],
                    default="adamw")
@@ -154,6 +160,13 @@ def main(argv=None):
     # models
     t_path = args.transformer or os.path.join(args.model, "transformer")
     params = load_flux_transformer(t_path, flux_cfg, dtype=jnp.float32 if args.mode != "lora" else jnp.bfloat16)
+    if args.quantize_base != "none":
+        if args.mode != "lora":
+            raise SystemExit("--quantize-base requires --mode lora (full-param "
+                             "training cannot update a quantized base)")
+        from textflux_tpu.io.quantize import quantize_tree
+
+        params = quantize_tree(params, mode=args.quantize_base)
     vae_params = to_device_params(
         convert_vae_state_dict(load_safetensors_dir(os.path.join(args.model, "vae")), vae_cfg))
     clip_params = to_device_params(
@@ -168,7 +181,10 @@ def main(argv=None):
     ))
 
     with mesh:
-        params = PT.shard_tree(params, PT.flux_param_specs(flux_cfg), mesh)
+        params = PT.shard_tree(
+            params,
+            PT.adapt_specs_to_params(PT.flux_param_specs(flux_cfg), params),
+            mesh)
         vae_params = PT.replicate_tree(vae_params, mesh)
 
         ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),

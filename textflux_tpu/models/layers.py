@@ -25,11 +25,12 @@ def dense_init(key: jax.Array, d_in: int, d_out: int, *, bias: bool = True, scal
 
 def dense(p, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q8a8" in p:
-        return _dense_w8a8(p, x)
-    if "w_q" in p:
+        y = _dense_w8a8(p, x)
+    elif "w_q" in p:
         # weight-only int8: per-output-column scales, dequant fused into the
         # matmul producer (halves weight HBM footprint/traffic)
         w = p["w_q"].astype(x.dtype) * p["scale"][..., None, :].astype(x.dtype)
+        y = x @ w
     elif "w_nf4" in p:
         # NF4 memory mode: codebook lookup + per-64-row absmax (quarter
         # weight footprint). Half-split packing -> two clean matmuls, no
@@ -39,12 +40,14 @@ def dense(p, x: jnp.ndarray) -> jnp.ndarray:
         w_top, w_bot = nf4_halves(p, x.dtype)
         half = w_top.shape[-2]
         y = x[..., :half] @ w_top + x[..., half:] @ w_bot
-        if "b" in p:
-            y = y + p["b"].astype(x.dtype)
-        return y
     else:
-        w = p["w"].astype(x.dtype)
-    y = x @ w
+        y = x @ p["w"].astype(x.dtype)
+    if "lora_a" in p:
+        # parallel low-rank branch (QLoRA-style): y += (x@A)@B with the
+        # alpha/rank scale folded into A by training.train.lora_insert —
+        # the frozen base (bf16 OR int8/NF4 dequant-on-read) is never
+        # materialized as base + A@B
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -80,10 +83,7 @@ def _dense_w8a8(p, x: jnp.ndarray) -> jnp.ndarray:
         acc = jnp.einsum("l...i,lio->l...o", xq, w_q,
                          preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * s * p["scale"][..., None, :]
-    y = y.astype(x.dtype)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
+    return y.astype(x.dtype)
 
 
 def layer_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

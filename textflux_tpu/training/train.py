@@ -137,7 +137,9 @@ def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
 
 
 def lora_merge(params, lora, scale: float):
-    """params + scale * A@B on every LoRA target (jit-friendly)."""
+    """params + scale * A@B on every LoRA target (jit-friendly). Requires a
+    bf16/f32 base (``base["w"]``); used for serving-time folding. Training
+    uses ``lora_insert`` (parallel branch, quantized-base capable)."""
     out = {k: v for k, v in params.items()}
     out["double"] = dict(params["double"])
     out["single"] = dict(params["single"])
@@ -147,6 +149,40 @@ def lora_merge(params, lora, scale: float):
             f = lora[group][name]
             delta = jnp.einsum("lir,lro->lio", f["a"], f["b"]) * scale
             out[group][name] = dict(base, w=base["w"] + delta.astype(base["w"].dtype))
+    return out
+
+
+def lora_insert(params, lora, scale: float):
+    """Attach LoRA factors to every target leaf as a PARALLEL low-rank branch
+    (models.layers.dense computes ``y += (x@A)@B``, alpha/rank folded into A).
+
+    Unlike ``lora_merge`` this never materializes ``base + A@B`` — so the
+    frozen base can be served-quantized (int8 weight-only / NF4, dequantized
+    on-read inside the matmul), which is what makes a MEASURED full-depth 12B
+    LoRA train step possible on one 16 GiB chip (the bf16 base alone is
+    22.2 GiB). QLoRA-equivalent of the reference's LoRA fine-tune
+    (/root/reference/scripts/train_lora.py:508-534).
+
+    The base must not be w8a8: the per-token activation-quant round() has a
+    zero gradient, so dL/dx through the base matmul would silently vanish.
+    """
+
+    def check(leaf):
+        if "w_q8a8" in leaf:
+            raise ValueError(
+                "LoRA over a w8a8 base is unsupported: the activation-quant "
+                "round() has zero gradient, so the base matmul would pass no "
+                "dL/dx. Quantize the frozen base as weight_only or nf4.")
+
+    out = {k: v for k, v in params.items()}
+    out["double"] = dict(params["double"])
+    out["single"] = dict(params["single"])
+    for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
+        for name in names:
+            base = params[group][name]
+            check(base)
+            f = lora[group][name]
+            out[group][name] = dict(base, lora_a=f["a"] * scale, lora_b=f["b"])
     return out
 
 
@@ -348,7 +384,12 @@ def make_lora_train_step(
     *,
     attn_impl: str = "auto",
 ):
-    """LoRA train step: gradients flow only through the (A, B) factor tree."""
+    """LoRA train step: gradients flow only through the (A, B) factor tree.
+
+    The factors attach as parallel low-rank branches (``lora_insert``), never
+    as a materialized ``base + A@B`` — identical gradients on a bf16 base
+    (tested), and the only formulation that works over a quantized frozen
+    base (int8 weight-only / NF4) for single-chip 12B training."""
     tx = tx or make_optimizer(tc)
     scale = tc.lora_alpha / tc.lora_rank
 
@@ -356,7 +397,7 @@ def make_lora_train_step(
         accum = batch["pixel_values"].shape[0]
 
         def loss_fn(lora, mb, k):
-            merged = lora_merge(base_params, lora, scale)
+            merged = lora_insert(base_params, lora, scale)
             return flow_matching_loss(
                 merged, flux_cfg, vae_params, vae_cfg, tc, mb, k, attn_impl=attn_impl)
 
