@@ -21,24 +21,33 @@ print("backend:", jax.default_backend())
 def zero_params(cfg, mode):
     from textflux_tpu.models.transformer import init_flux_params
 
+    from textflux_tpu.io.quantize import MIXED_INT8_NAMES
+
     shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-    key = {"weight_only": "w_q", "w8a8": "w_q8a8", "nf4": "w_nf4"}[mode]
-    def build(tree):
+    def build(tree, path=()):
         out = {}
         for k, v in tree.items():
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16)                     and (mode != "nf4" or v["w"].shape[-2] % 128 == 0):
-                if mode == "nf4":
+            p = path + (k,)
+            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16):
+                leaf_mode = mode
+                if mode == "mixed":
+                    leaf_mode = ("weight_only"
+                                 if any(n in p for n in MIXED_INT8_NAMES) else "nf4")
+                if leaf_mode == "nf4" and v["w"].shape[-2] % 128 != 0:
+                    leaf_mode = "weight_only"
+                if leaf_mode == "nf4":
                     *lead, din, dout = v["w"].shape
                     q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8),
                          "absmax4": jnp.full((*lead, din // 64, dout), 1e-2, jnp.float32)}
                 else:
+                    key = "w_q8a8" if leaf_mode == "w8a8" else "w_q"
                     q = {key: jnp.zeros(v["w"].shape, jnp.int8),
                          "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
                 if "b" in v:
                     q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
                 out[k] = q
             elif isinstance(v, dict):
-                out[k] = build(v)
+                out[k] = build(v, p)
             else:
                 out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
         return out
@@ -77,8 +86,8 @@ def bench(mode, batch):
     gc.collect()
     return t
 
-for mode in ("weight_only", "w8a8", "nf4"):
-    for batch in (1, 4, 8):
+for mode in ("weight_only", "w8a8", "nf4", "mixed"):
+    for batch in ((1, 4, 8) if mode in ("weight_only", "w8a8") else (1,)):
         try:
             t = bench(mode, batch)
             print(f"mode={mode:12s} B={batch}: step={t*1000:8.2f} ms  per-img={t*1000/batch:8.2f} ms  30-step s/img={30*t/batch:6.3f}")

@@ -296,3 +296,66 @@ def test_nf4_half_permuted_fused_path(rng):
                      jnp.asarray(cos_h), jnp.asarray(sin_h), attn_impl="fused")
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 2e-2, rel
+
+
+def test_nf4_double_quant_roundtrip(rng):
+    """Double-quantized absmax (uint8 linear codes + f32 lo/hi per column)
+    must add only a small error on top of plain NF4 and cut absmax storage
+    4x."""
+    from textflux_tpu.io.quantize import nf4_weight
+
+    p = {"w": jnp.asarray(rng.standard_normal((512, 96)) * 0.02, jnp.float32)}
+    q = quantize_dense(p, mode="nf4")
+    qd = quantize_dense(p, mode="nf4", double_quant=True)
+    assert "absmax8" in qd and qd["absmax8"].dtype == jnp.uint8
+    assert qd["amax_lo"].shape == (96,) and qd["amax_hi"].shape == (96,)
+    w_plain = nf4_weight(q, jnp.float32)
+    w_dq = nf4_weight(qd, jnp.float32)
+    rel_plain = float(jnp.linalg.norm(w_plain - p["w"]) / jnp.linalg.norm(p["w"]))
+    rel_dq = float(jnp.linalg.norm(w_dq - p["w"]) / jnp.linalg.norm(p["w"]))
+    assert rel_dq < rel_plain * 1.1 + 0.005, (rel_plain, rel_dq)
+    # dense consumes the double-quantized layout directly
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    ref = dense(p, x)
+    out = dense(qd, x)
+    assert float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)) < 0.15
+
+
+def test_mixed_tree_policy(rng):
+    """mode='mixed': the measured NF4-sensitive IO boundary (embedders +
+    final mod/proj, ~9% velocity error each under NF4) stays int8
+    weight-only; block interiors (qkv/proj/mlp/mods, all <0.5%) go NF4."""
+    from textflux_tpu.config import FluxConfig
+    from textflux_tpu.models.transformer import init_flux_params
+
+    cfg = FluxConfig(num_double_layers=1, num_single_layers=1, num_heads=1,
+                     head_dim=128, joint_dim=64, pooled_dim=32,
+                     in_channels=64, guidance_embeds=True,
+                     axes_dims_rope=(32, 48, 48))
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_tree(params, min_size=1 << 8, mode="mixed")
+    assert "w_q" in q["final_mod"] and "w_nf4" not in q["final_mod"]
+    assert "w_q" in q["txt_in"]
+    assert "w_q" in q["time_in"]["fc2"]
+    assert "w_nf4" in q["double"]["img_qkv"]
+    assert "w_nf4" in q["double"]["img_mod"]
+    assert "w_nf4" in q["single"]["linear1"]
+    assert "w_nf4" in q["single"]["mod"]
+    # mixed output stays close to float at tiny scale
+    from textflux_tpu.ops import packing
+    from textflux_tpu.ops.rope import rope_tables
+
+    t_txt, lat_h, lat_w = 8, 8, 8
+    t_img = (lat_h // 2) * (lat_w // 2)
+    ids = np.concatenate([packing.text_ids(t_txt),
+                          packing.latent_image_ids(lat_h, lat_w)], 0)
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+    img = jnp.asarray(rng.standard_normal((1, t_img, cfg.in_channels)), jnp.float32)
+    txt = jnp.asarray(rng.standard_normal((1, t_txt, cfg.joint_dim)), jnp.float32)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+    args = (img, txt, pooled, jnp.array([0.5], jnp.float32),
+            jnp.array([30.0], jnp.float32), jnp.asarray(cos), jnp.asarray(sin))
+    ref = flux_apply(params, cfg, *args, attn_impl="xla")
+    out = flux_apply(q, cfg, *args, attn_impl="xla")
+    rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < 0.25, rel

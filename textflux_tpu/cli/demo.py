@@ -180,7 +180,7 @@ def main():
                         "a 16GB chip (the interactive-demo mode — slower and "
                         "lower quality than int8). For batch work on 16GB "
                         "prefer the batch CLIs' --staged-text")
-    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4"],
+    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
                    default="weight_only",
                    help="nf4 = 4-bit DiT, whole stack co-resident on 16GB")
     p.add_argument("--mesh", default=None,

@@ -120,7 +120,7 @@ def main():
     p.add_argument("--font", default=None)
     p.add_argument("--quantize", action="store_true",
                    help="int8 DiT (fits 12B on one 16GB chip)")
-    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4"],
+    p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
                    default="weight_only",
                    help="weight_only: dequant into bf16 matmuls (best quality); "
                         "w8a8: int8 MXU matmuls (~1.4x faster step)")

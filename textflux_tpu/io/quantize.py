@@ -35,7 +35,8 @@ NF4_CODEBOOK = (
 NF4_BLOCK = 64
 
 
-def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
+def quantize_dense(p: dict, mode: str = "weight_only",
+                   double_quant: bool = False) -> dict:
     """{'w': (..., in, out), 'b'?} -> quantized leaf dict.
 
     mode "weight_only": {'w_q', 'scale', 'b'?} — dequant-on-read into bf16
@@ -45,9 +46,12 @@ def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
     (2x bf16 peak on v5e).
     mode "nf4": {'w_nf4', 'absmax4', 'b'?} — 4-bit normal-float codes packed
     two per byte, f32 absmax per 64 input rows (falls back to weight_only
-    when the in-dim is not a multiple of 128)."""
+    when the in-dim is not a multiple of 128). double_quant additionally
+    stores the absmax as per-column linear uint8 codes ({'absmax8',
+    'amax_lo', 'amax_hi'}) — the bnb double-quantization analogue, ~0.6 GiB
+    back on the 12B DiT for a measured ~0.1% extra velocity error."""
     if mode == "nf4":
-        return _quantize_dense_nf4(p)
+        return _quantize_dense_nf4(p, double_quant=double_quant)
     w = jnp.asarray(p["w"], jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2)                      # (..., out)
     scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -59,7 +63,7 @@ def quantize_dense(p: dict, mode: str = "weight_only") -> dict:
     return out
 
 
-def _quantize_dense_nf4(p: dict) -> dict:
+def _quantize_dense_nf4(p: dict, double_quant: bool = False) -> dict:
     w = jnp.asarray(p["w"], jnp.float32)
     *lead, din, dout = w.shape
     if din % (2 * NF4_BLOCK) != 0:
@@ -85,21 +89,39 @@ def _quantize_dense_nf4(p: dict) -> dict:
     packed = ((hi & 0xF) << 4) | (lo & 0xF)
     # f32 absmax: the codes were chosen against the f32 scale, and a bf16
     # absmax would rescale every block by up to 2^-8 relative (bnb also
-    # stores fp32); costs 0.25 GiB on the 12B DiT
-    out = {"w_nf4": packed, "absmax4": absmax}
+    # stores fp32); costs ~0.7 GiB on the 12B DiT
+    if double_quant:
+        # bnb-style double quantization: per-column linear uint8 codes over
+        # the g axis with f32 lo/hi endpoints — absmax storage /4
+        lo = jnp.min(absmax, axis=-2)                       # (..., out)
+        hi = jnp.max(absmax, axis=-2)
+        span = jnp.maximum(hi - lo, 1e-12)
+        code8 = jnp.clip(jnp.round(
+            (absmax - lo[..., None, :]) / span[..., None, :] * 255.0),
+            0, 255).astype(jnp.uint8)
+        out = {"w_nf4": packed, "absmax8": code8,
+               "amax_lo": lo, "amax_hi": hi}
+    else:
+        out = {"w_nf4": packed, "absmax4": absmax}
     if "b" in p:
         out["b"] = p["b"]
     return out
 
 
 def nf4_halves(p: dict, dtype=jnp.bfloat16):
-    """Dequantize a {'w_nf4', 'absmax4'} leaf into its two row-halves
-    ((..., in/2, out) each — see the half-split note in _quantize_dense_nf4)."""
+    """Dequantize a {'w_nf4', 'absmax4' | double-quantized absmax} leaf into
+    its two row-halves ((..., in/2, out) each — see the half-split note in
+    _quantize_dense_nf4)."""
     packed = p["w_nf4"]
     *lead, half, dout = packed.shape
     g2 = half // NF4_BLOCK
     code = jnp.asarray(NF4_CODEBOOK, jnp.float32)
-    am = p["absmax4"].astype(jnp.float32)
+    if "absmax8" in p:
+        lo, hi = p["amax_lo"], p["amax_hi"]
+        am = lo[..., None, :] + p["absmax8"].astype(jnp.float32) * (
+            (hi - lo)[..., None, :] / 255.0)
+    else:
+        am = p["absmax4"].astype(jnp.float32)
     am_top, am_bot = am[..., :g2, :], am[..., g2:, :]
     halves = []
     for nib, am_h in (((packed & 0xF), am_top), ((packed >> 4) & 0xF, am_bot)):
@@ -119,18 +141,40 @@ def _is_dense(p) -> bool:
     return isinstance(p, dict) and "w" in p and getattr(p["w"], "ndim", 0) >= 2
 
 
-def quantize_tree(params, *, min_size: int = 1 << 16, mode: str = "weight_only"):
+# Mixed int8/NF4 policy: leaves whose path contains one of these names stay
+# int8 weight-only, the rest go NF4. Chosen from the measured per-leaf-group
+# NF4 sensitivity (benchmarks/bench_quant_quality.py; ARCHITECTURE.md table):
+# the IO boundary dominates — embedders ~9.2% and final_mod/final_proj ~9.3%
+# velocity error under NF4, while every in-block group (qkv, proj, MLPs,
+# AdaLN mods) sits at 0.25-0.47%. The bnb/QLoRA "skip embeddings and head"
+# convention, rediscovered empirically. These leaves are ~65M params, so the
+# mixed tree costs only ~30 MiB over all-NF4.
+MIXED_INT8_NAMES = ("img_in", "txt_in", "time_in", "vector_in",
+                    "guidance_in", "final_mod", "final_proj")
+
+
+def quantize_tree(params, *, min_size: int = 1 << 16, mode: str = "weight_only",
+                  double_quant: bool = False):
     """Quantize every dense leaf-dict with w.size >= min_size (small embedders
     stay bf16 — negligible memory, avoids quality risk on the conditioning
-    path). Non-dense leaves pass through. mode: see quantize_dense."""
+    path). Non-dense leaves pass through. mode: see quantize_dense, plus
+    "mixed" = int8 weight-only on the NF4-sensitive IO-boundary leaves
+    (MIXED_INT8_NAMES: embedders + final mod/proj), NF4 on all block
+    interiors — ~6.3 GiB on the 12B DiT (vs 6.24 NF4 / 11.1 int8) at
+    measurably better quality than all-NF4."""
 
-    def rec(node):
+    def rec(node, path=()):
         if _is_dense(node) and node["w"].size >= min_size:
-            return quantize_dense(node, mode)
+            leaf_mode = mode
+            if mode == "mixed":
+                leaf_mode = ("weight_only"
+                             if any(n in path for n in MIXED_INT8_NAMES)
+                             else "nf4")
+            return quantize_dense(node, leaf_mode, double_quant=double_quant)
         if isinstance(node, dict):
-            return {k: rec(v) for k, v in node.items()}
+            return {k: rec(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, list):
-            return [rec(v) for v in node]
+            return [rec(v, path) for v in node]
         return node
 
     return rec(params)
