@@ -35,19 +35,22 @@ def test_generate_batch(pipe, rng):
 
 
 def test_generate_batch_sharded_matches_unsharded(pipe, rng):
+    """The tensor>1 mesh engages the tp fast path (device-major weight
+    permutation + shard_map'd head-parallel attention) — outputs must match
+    the unsharded pipeline. A fresh pipeline is sharded (shard_for_serving
+    permutes the weight layout in place)."""
     images, masks = _inputs(rng, 4)
     words = [["w1"], ["w2"], ["w3"], ["w4"]]
     kw = dict(height=32, width=48, num_inference_steps=2, seed=3,
               dtype=jnp.float32, sampler="euler")
     ref = pipe.generate_batch(images, masks, words, **kw)
 
+    spipe = tiny_pipeline()
     mesh = PT.make_mesh((2, 2, 2))
-    pipe.shard_for_serving(mesh)
-    try:
-        with mesh:
-            out = pipe.generate_batch(images, masks, words, **kw)
-    finally:
-        pipe.mesh = None  # module-scoped fixture: don't leak the mesh path
+    spipe.shard_for_serving(mesh)
+    assert getattr(spipe, "_tp", 1) == 2  # the tp fast path is bound
+    with mesh:
+        out = spipe.generate_batch(images, masks, words, **kw)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), atol=2.0)
@@ -129,9 +132,48 @@ def test_generate_batch_quantized_sharded_matches_unsharded(rng, mode):
     ref = qpipe.generate_batch(images, masks, words, **kw)
 
     mesh = PT.make_mesh((2, 2, 2))
-    qpipe.shard_for_serving(mesh)
+    if mode == "nf4":
+        # the supported tp ordering is permute-then-quantize (quantize=):
+        # on the tiny config linear2's in-dim (80) is not a 128-multiple so
+        # nf4 falls back to int8 there and a pre-quantized tree would also
+        # permute — the genuinely-packed reject case is covered by
+        # test_tp_permute_rejects_packed_nf4_linear2. Output must match the
+        # unsharded nf4 pipeline within requantization noise (absmax blocks
+        # regroup over permuted rows).
+        qpipe = tiny_pipeline()
+        qpipe.shard_for_serving(mesh, quantize="nf4", quantize_min_size=0)
+        atol = 8.0
+    else:
+        qpipe.shard_for_serving(mesh)
+        atol = 2.0
     with mesh:
         out = qpipe.generate_batch(images, masks, words, **kw)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32), atol=2.0)
+                                   np.asarray(b, np.float32), atol=atol)
+
+
+def test_tp_permute_rejects_packed_nf4_linear2():
+    """On 128-multiple layers linear2 really is nibble-packed: its in rows
+    cannot be permuted post hoc, so tp_permute_flux_params must reject a
+    pre-quantized nf4 tree (quantize AFTER the permutation instead)."""
+    import jax
+    from textflux_tpu.config import FluxConfig
+    from textflux_tpu.io.quantize import quantize_tree
+    from textflux_tpu.models.transformer import (
+        init_flux_params,
+        tp_permute_flux_params,
+    )
+
+    cfg = FluxConfig(num_double_layers=1, num_single_layers=1, num_heads=2,
+                     head_dim=128, joint_dim=64, pooled_dim=32, in_channels=64,
+                     guidance_embeds=False, axes_dims_rope=(32, 48, 48))
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    q = quantize_tree(params, min_size=0, mode="nf4")
+    assert "w_nf4" in q["single"]["linear2"]
+    with pytest.raises(ValueError, match="NF4-packed"):
+        tp_permute_flux_params(q, cfg, 2)
+    # permute-then-quantize works and packs the permuted rows
+    qp = quantize_tree(tp_permute_flux_params(params, cfg, 2), min_size=0,
+                       mode="nf4")
+    assert "w_nf4" in qp["single"]["linear2"]

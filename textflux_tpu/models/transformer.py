@@ -109,6 +109,88 @@ def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     return x.reshape(b, s, num_heads, -1)
 
 
+# ---------------------------------------------------------------------------
+# Tensor-parallel helpers (clean-megatron schedule)
+#
+# With tp > 1 the fused projections are in DEVICE-MAJOR column layout
+# (tp_permute_flux_params): contiguous GSPMD shard d of the out dim holds
+# [q_d | k_d | v_d (| mlp_d)] — every segment's d-th head-aligned chunk. The
+# split below is then local (no resharding), attention runs head-parallel
+# under shard_map (no replicated-pallas all-gathers), and the only
+# collectives left are the row-parallel projections' all-reduces — the
+# textbook 2-per-block megatron schedule. Audited from compiled HLO by
+# benchmarks/audit_collectives.py (was: ~3.6 GiB/step of resharding storm
+# with plain GSPMD propagation; see ARCHITECTURE.md).
+# ---------------------------------------------------------------------------
+
+def _wsc(x, mesh, *spec):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def _tp_split(y, segs, tp, mesh, bax):
+    """Split a device-major fused projection output (B, S, sum(segs)) into
+    per-segment arrays (B, S, seg) — communication-free under GSPMD: the
+    reshape factors the sharded axis into (tp, chunk), the slice is local,
+    and the merge re-forms each segment with its natural contiguous
+    head-sharding."""
+    b, s, c = y.shape
+    chunk = c // tp
+    y = _wsc(y.reshape(b, s, tp, chunk), mesh, bax, None, "tensor", None)
+    outs, o = [], 0
+    for seg in segs:
+        sl = seg // tp
+        outs.append(_wsc(y[..., o:o + sl].reshape(b, s, seg), mesh,
+                         bax, None, "tensor"))
+        o += sl
+    return outs
+
+
+def _head_shard(mesh, bax, fn, qkv, reps):
+    """Run fn(*qkv, *reps) under shard_map with q/k/v (B, S, H, D)
+    head-sharded over the tensor axis and reps replicated. Joint attention is
+    embarrassingly parallel over heads, so the body needs no collectives —
+    and the Pallas kernel inside runs per-shard instead of GSPMD's replicated
+    fallback (which all-gathered q/k/v every block)."""
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
+    bspec = P(bax, None, "tensor", None)
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple([bspec] * len(qkv) + [P()] * len(reps)),
+        out_specs=bspec, check_vma=False,
+    )(*qkv, *reps)
+
+
+def _tp_attn_mlp(mesh, bax, fn, qkv, mlp, reps):
+    """shard_map for the single-stream block body: q/k/v head-sharded, the
+    mlp pre-activation column-sharded, reps replicated. fn returns the LOCAL
+    [attn_d | gelu(mlp)_d] concat (B, S, (d + m) / tp); stitched along the
+    tensor axis the global result is device-major over (attn, mlp) — exactly
+    linear2's tp-permuted row layout."""
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
+    bspec = P(bax, None, "tensor", None)
+    cspec = P(bax, None, "tensor")
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=tuple([bspec] * len(qkv) + [cspec] + [P()] * len(reps)),
+        out_specs=cspec, check_vma=False,
+    )(*qkv, mlp, *reps)
+
+
+def _batch_axes(mesh, b: int):
+    """Shard the batch dim over (data, fsdp) when it divides; B=1 single-image
+    calls on a multi-chip mesh stay replicated over the data axes."""
+    df = mesh.shape["data"] * mesh.shape["fsdp"]
+    return ("data", "fsdp") if b % df == 0 else None
+
+
 def _modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return layer_norm(x) * (1.0 + scale[:, None]) + shift[:, None]
 
@@ -130,22 +212,36 @@ def _apply_rope_half_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) ->
     return out.astype(orig)
 
 
-def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_impl, kv_len):
+def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_impl, kv_len,
+                 tp: int = 1, mesh=None, bax=None):
     """One double-stream block: separate img/txt QKV + MLPs, joint attention.
 
     mods = (img_mod (B, 6D), txt_mod (B, 6D)) — the block's AdaLN modulation
     vectors, computed by the caller (per step, or precomputed for the whole
-    sigma schedule by ``flux_mods``)."""
+    sigma schedule by ``flux_mods``).
+
+    tp > 1: tensor-parallel fast path — requires tp_permute_flux_params'd
+    weights (device-major fused columns) and an active ``mesh``."""
     n_txt = txt.shape[1]
     img_mod, txt_mod = mods
+    if tp > 1:
+        # modulation vectors are tiny (B, 6D); replicate them so the six-way
+        # split below is local regardless of how the mod weights are sharded
+        img_mod = _wsc(img_mod, mesh, bax, None)
+        txt_mod = _wsc(txt_mod, mesh, bax, None)
     (i_shift1, i_scale1, i_gate1, i_shift2, i_scale2, i_gate2) = jnp.split(img_mod, 6, axis=-1)
     (t_shift1, t_scale1, t_gate1, t_shift2, t_scale2, t_gate2) = jnp.split(txt_mod, 6, axis=-1)
 
     img_n = _modulate(img, i_shift1, i_scale1)
     txt_n = _modulate(txt, t_shift1, t_scale1)
 
-    iq, ik, iv = jnp.split(dense(p["img_qkv"], img_n), 3, axis=-1)
-    tq, tk, tv = jnp.split(dense(p["txt_qkv"], txt_n), 3, axis=-1)
+    d = cfg.hidden_dim
+    if tp > 1:
+        iq, ik, iv = _tp_split(dense(p["img_qkv"], img_n), (d, d, d), tp, mesh, bax)
+        tq, tk, tv = _tp_split(dense(p["txt_qkv"], txt_n), (d, d, d), tp, mesh, bax)
+    else:
+        iq, ik, iv = jnp.split(dense(p["img_qkv"], img_n), 3, axis=-1)
+        tq, tk, tv = jnp.split(dense(p["txt_qkv"], txt_n), 3, axis=-1)
     h = cfg.num_heads
 
     if attn_impl == "fused" and (txt.shape[1] + img.shape[1]) <= FUSED_MAX_SEQ:
@@ -163,8 +259,15 @@ def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_im
         ks = jnp.concatenate([
             jnp.broadcast_to(p["txt_k_scale"][None], (n_txt, cfg.head_dim)),
             jnp.broadcast_to(p["img_k_scale"][None], (n_img, cfg.head_dim))])
-        out = flash_attention_qk_norm_rope(q, k, v, rope_cos, rope_sin, qs, ks,
-                                           kv_len=kv_len)
+        if tp > 1:
+            out = _head_shard(
+                mesh, bax,
+                lambda q_, k_, v_, c_, s_, qs_, ks_: flash_attention_qk_norm_rope(
+                    q_, k_, v_, c_, s_, qs_, ks_, kv_len=kv_len),
+                (q, k, v), (rope_cos, rope_sin, qs, ks))
+        else:
+            out = flash_attention_qk_norm_rope(q, k, v, rope_cos, rope_sin,
+                                               qs, ks, kv_len=kv_len)
     elif attn_impl == "fused":
         # long-sequence fallback: same permuted weights + rotate-half tables,
         # rms/rope applied outside, unfused flash kernel
@@ -177,7 +280,14 @@ def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_im
         q = _apply_rope_half_bshd(jnp.concatenate([tq, iq], axis=1), rope_cos, rope_sin)
         k = _apply_rope_half_bshd(jnp.concatenate([tk, ik], axis=1), rope_cos, rope_sin)
         v = jnp.concatenate([tv, iv], axis=1)
-        out = dot_product_attention(q, k, v, impl="pallas", kv_len=kv_len)
+        if tp > 1:
+            out = _head_shard(
+                mesh, bax,
+                lambda q_, k_, v_: dot_product_attention(
+                    q_, k_, v_, impl="pallas", kv_len=kv_len),
+                (q, k, v), ())
+        else:
+            out = dot_product_attention(q, k, v, impl="pallas", kv_len=kv_len)
     else:
         iq, ik, iv = _heads(iq, h), _heads(ik, h), _heads(iv, h)
         tq, tk, tv = _heads(tq, h), _heads(tk, h), _heads(tv, h)
@@ -192,9 +302,18 @@ def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_im
         v = jnp.concatenate([tv, iv], axis=1)
         q = apply_rope_bshd(q, rope_cos, rope_sin)
         k = apply_rope_bshd(k, rope_cos, rope_sin)
-        out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
+        if tp > 1:
+            out = _head_shard(
+                mesh, bax,
+                lambda q_, k_, v_: dot_product_attention(
+                    q_, k_, v_, impl=attn_impl, kv_len=kv_len),
+                (q, k, v), ())
+        else:
+            out = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
 
     out = out.reshape(out.shape[0], out.shape[1], -1)
+    if tp > 1:  # contiguous head shards == contiguous column shards
+        out = _wsc(out, mesh, bax, None, "tensor")
     txt_attn, img_attn = out[:, :n_txt], out[:, n_txt:]
 
     img = img + i_gate1[:, None] * dense(p["img_proj"], img_attn)
@@ -204,38 +323,79 @@ def double_block(p, cfg: FluxConfig, txt, img, mods, rope_cos, rope_sin, attn_im
     txt = txt + t_gate1[:, None] * dense(p["txt_proj"], txt_attn)
     txt_mlp_in = _modulate(txt, t_shift2, t_scale2)
     txt = txt + t_gate2[:, None] * dense(p["txt_mlp"]["fc2"], gelu_tanh(dense(p["txt_mlp"]["fc1"], txt_mlp_in)))
+    if tp > 1:  # residual streams stay replicated between blocks (the
+        # row-parallel proj/fc2 all-reduces land here — 2 per stream)
+        img = _wsc(img, mesh, bax, None, None)
+        txt = _wsc(txt, mesh, bax, None, None)
     return txt, img
 
 
-def single_block(p, cfg: FluxConfig, x, mod, rope_cos, rope_sin, attn_impl, kv_len):
+def single_block(p, cfg: FluxConfig, x, mod, rope_cos, rope_sin, attn_impl, kv_len,
+                 tp: int = 1, mesh=None, bax=None):
     """One single-stream block: parallel attention + MLP over the joint sequence.
 
-    mod: (B, 3D) AdaLN modulation vector (see double_block)."""
+    mod: (B, 3D) AdaLN modulation vector (see double_block).
+
+    tp > 1 (tensor-parallel fast path, tp_permute_flux_params'd weights):
+    linear1 splits device-major; attention + gelu + the [attn | mlp] concat
+    all run INSIDE shard_map, so the concat's global layout is device-major
+    by construction — matching linear2's tp-permuted input rows — and no
+    GSPMD-unrepresentable interleaved sharding ever materializes."""
     d, m, h = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+    if tp > 1:
+        mod = _wsc(mod, mesh, bax, None)
     shift, scale, gate = jnp.split(mod, 3, axis=-1)
     x_n = _modulate(x, shift, scale)
 
     fused = dense(p["linear1"], x_n)
-    q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
+    if tp > 1:
+        q, k, v, mlp = _tp_split(fused, (d, d, d, m), tp, mesh, bax)
+    else:
+        q, k, v, mlp = jnp.split(fused, [d, 2 * d, 3 * d], axis=-1)
     q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
+
+    def _concat_mlp(attn_, mlp_):
+        attn_ = attn_.reshape(attn_.shape[0], attn_.shape[1], -1)
+        return jnp.concatenate([attn_, gelu_tanh(mlp_)], axis=-1)
+
     if attn_impl == "fused" and x.shape[1] <= FUSED_MAX_SEQ:
         from textflux_tpu.ops.flash_attention import flash_attention_qk_norm_rope
 
-        attn = flash_attention_qk_norm_rope(
-            q, k, v, rope_cos, rope_sin, p["q_scale"], p["k_scale"], kv_len=kv_len)
-    elif attn_impl == "fused":
-        q = _apply_rope_half_bshd(rms_norm(q, p["q_scale"]), rope_cos, rope_sin)
-        k = _apply_rope_half_bshd(rms_norm(k, p["k_scale"]), rope_cos, rope_sin)
-        attn = dot_product_attention(q, k, v, impl="pallas", kv_len=kv_len)
+        if tp > 1:
+            y = _tp_attn_mlp(
+                mesh, bax,
+                lambda q_, k_, v_, mlp_, c_, s_, qs_, ks_: _concat_mlp(
+                    flash_attention_qk_norm_rope(q_, k_, v_, c_, s_, qs_, ks_,
+                                                 kv_len=kv_len), mlp_),
+                (q, k, v), mlp, (rope_cos, rope_sin, p["q_scale"], p["k_scale"]))
+        else:
+            attn = flash_attention_qk_norm_rope(
+                q, k, v, rope_cos, rope_sin, p["q_scale"], p["k_scale"], kv_len=kv_len)
     else:
-        q = rms_norm(q, p["q_scale"])
-        k = rms_norm(k, p["k_scale"])
-        q = apply_rope_bshd(q, rope_cos, rope_sin)
-        k = apply_rope_bshd(k, rope_cos, rope_sin)
-        attn = dot_product_attention(q, k, v, impl=attn_impl, kv_len=kv_len)
-    attn = attn.reshape(attn.shape[0], attn.shape[1], -1)
+        if attn_impl == "fused":
+            q = _apply_rope_half_bshd(rms_norm(q, p["q_scale"]), rope_cos, rope_sin)
+            k = _apply_rope_half_bshd(rms_norm(k, p["k_scale"]), rope_cos, rope_sin)
+            impl = "pallas"
+        else:
+            q = rms_norm(q, p["q_scale"])
+            k = rms_norm(k, p["k_scale"])
+            q = apply_rope_bshd(q, rope_cos, rope_sin)
+            k = apply_rope_bshd(k, rope_cos, rope_sin)
+            impl = attn_impl
+        if tp > 1:
+            y = _tp_attn_mlp(
+                mesh, bax,
+                lambda q_, k_, v_, mlp_: _concat_mlp(
+                    dot_product_attention(q_, k_, v_, impl=impl, kv_len=kv_len),
+                    mlp_),
+                (q, k, v), mlp, ())
+        else:
+            attn = dot_product_attention(q, k, v, impl=impl, kv_len=kv_len)
 
-    out = dense(p["linear2"], jnp.concatenate([attn, gelu_tanh(mlp)], axis=-1))
+    if tp > 1:
+        out = dense(p["linear2"], y)
+        return _wsc(x + gate[:, None] * out, mesh, bax, None, None)
+    out = dense(p["linear2"], _concat_mlp(attn, mlp))
     return x + gate[:, None] * out
 
 
@@ -318,10 +478,16 @@ def flux_apply(
     remat: bool = False,
     kv_len: Optional[int] = None,
     mods=None,                    # optional precomputed flux_mods(...) output
+    tp: int = 1,                  # tensor-parallel degree (clean-megatron path;
+                                  # requires tp_permute_flux_params'd weights)
+    mesh=None,                    # jax.sharding.Mesh, required when tp > 1
 ) -> jnp.ndarray:
     """Predict the flow velocity for packed image tokens. Returns (B, T_img, out_channels)."""
     n_txt = txt_tokens.shape[1]
     dtype = img_tokens.dtype
+    if tp > 1 and mesh is None:
+        raise ValueError("tp > 1 requires the mesh")
+    bax = _batch_axes(mesh, img_tokens.shape[0]) if tp > 1 else None
 
     if mods is None:
         vec = flux_vec(params, cfg, timestep, guidance, pooled, dtype)
@@ -337,11 +503,13 @@ def flux_apply(
         def double_body(carry, bp):
             txt, img = carry
             m = (dense(bp["img_mod"], sv), dense(bp["txt_mod"], sv))
-            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin, attn_impl, kv_len)
+            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin,
+                                    attn_impl, kv_len, tp, mesh, bax)
             return (txt, img), None
 
         def single_body(x, bp):
-            x = single_block(bp, cfg, x, dense(bp["mod"], sv), rope_cos, rope_sin, attn_impl, kv_len)
+            x = single_block(bp, cfg, x, dense(bp["mod"], sv), rope_cos, rope_sin,
+                             attn_impl, kv_len, tp, mesh, bax)
             return x, None
     else:
         double_xs = (params["double"], mods["double"])
@@ -350,16 +518,23 @@ def flux_apply(
         def double_body(carry, xs):
             txt, img = carry
             bp, m = xs
-            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin, attn_impl, kv_len)
+            txt, img = double_block(bp, cfg, txt, img, m, rope_cos, rope_sin,
+                                    attn_impl, kv_len, tp, mesh, bax)
             return (txt, img), None
 
         def single_body(x, xs):
             bp, m = xs
-            x = single_block(bp, cfg, x, m, rope_cos, rope_sin, attn_impl, kv_len)
+            x = single_block(bp, cfg, x, m, rope_cos, rope_sin,
+                             attn_impl, kv_len, tp, mesh, bax)
             return x, None
 
     img = dense(params["img_in"], img_tokens)
     txt = dense(params["txt_in"], txt_tokens.astype(dtype))
+    if tp > 1:
+        # residual streams enter the blocks replicated over tensor (one
+        # gather here; the embedder weights stay column-sharded)
+        img = _wsc(img, mesh, bax, None, None)
+        txt = _wsc(txt, mesh, bax, None, None)
 
     rope_cos = rope_cos.astype(jnp.float32)
     rope_sin = rope_sin.astype(jnp.float32)
@@ -407,10 +582,13 @@ def half_permute_flux_params(params, cfg: FluxConfig):
                               2 * d + np.arange(d + extra_cols)])
         # every quantized-leaf layout keeps the out dim last, so one gather
         # covers them all (w_nf4 packs along the IN dim, absmax4 groups it —
-        # their out axes are untouched by packing)
+        # their out axes are untouched by packing); lora_b's out columns
+        # permute identically, lora_a acts on the in dim and passes through
         out = {k: v[..., idx] for k, v in p.items()
                if k in ("w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4",
-                        "b")}
+                        "absmax8", "amax_lo", "amax_hi", "b", "lora_b")}
+        if "lora_a" in p:
+            out["lora_a"] = p["lora_a"]
         return out
 
     out = dict(params)
@@ -425,5 +603,89 @@ def half_permute_flux_params(params, cfg: FluxConfig):
     sng["linear1"] = permute_qkv(params["single"]["linear1"], extra_cols=cfg.mlp_dim)
     for name in ("q_scale", "k_scale"):
         sng[name] = params["single"][name][..., perm]
+    out["single"] = sng
+    return out
+
+
+def _devmajor_idx(segs, tp: int):
+    """Index permutation mapping a fused axis [seg0 | seg1 | ...] to
+    device-major layout [seg0_0 | seg1_0 | ... | seg0_1 | seg1_1 | ...]:
+    contiguous GSPMD shard d of the permuted axis holds every segment's d-th
+    chunk."""
+    import numpy as np
+
+    offs = np.concatenate([[0], np.cumsum(segs)[:-1]])
+    parts = []
+    for dev in range(tp):
+        for off, seg in zip(offs, segs):
+            c = seg // tp
+            parts.append(off + dev * c + np.arange(c))
+    return np.concatenate(parts)
+
+
+def tp_permute_flux_params(params, cfg: FluxConfig, tp: int):
+    """Permute the fused projections into device-major layout for the
+    tensor-parallel fast path (flux_apply(tp=...)).
+
+    Without this, GSPMD's contiguous out-dim tiling of the fused qkv/linear1
+    weights does not align with head-sharded attention, and the compiler
+    reshards between the fused matmul and the attention every block (the
+    collective-permute storm measured by benchmarks/audit_collectives.py:
+    ~3.6 GiB/step at TP-8 full width). Device-major columns make the
+    qkv split, head sharding, and the single-stream [attn | mlp] -> linear2
+    layout all line up with contiguous shards, leaving only the row-parallel
+    projections' all-reduces — the textbook megatron schedule.
+
+    Permutes: img_qkv/txt_qkv out columns (segments d,d,d), linear1 out
+    columns (d,d,d,mlp), linear2 IN rows (d,mlp — matching the shard-local
+    [attn_d | gelu(mlp)_d] concat the tp block emits). Composes with (apply
+    AFTER) half_permute_flux_params: that transform permutes within each
+    head's D columns, this one moves whole head-aligned chunks.
+
+    NF4 trees: out-column permutes are layout-safe (packing is along the in
+    dim), but linear2's in-row permute cannot move nibble-packed rows —
+    quantize AFTER this transform (from_pretrained/shard_for_serving order
+    it correctly); a pre-quantized nf4 tree raises."""
+    import numpy as np
+
+    d, m, h = cfg.hidden_dim, cfg.mlp_dim, cfg.num_heads
+    if any(x % tp for x in (d, m, h)):
+        raise ValueError(
+            f"hidden={d}, mlp={m}, heads={h} must all be divisible by tp={tp}")
+
+    def permute_out(p, idx):
+        out = {k: (v[..., idx] if k in (
+            "w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4", "absmax8",
+            "amax_lo", "amax_hi", "b", "lora_b") else v)
+            for k, v in p.items()}
+        return out
+
+    def permute_in(p, idx):
+        if "w_nf4" in p:
+            raise ValueError(
+                "cannot tp-permute the in rows of an NF4-packed linear2: "
+                "rows are nibble-packed and absmax-blocked. Quantize AFTER "
+                "tp_permute_flux_params (from_pretrained(mesh=...) and "
+                "shard_for_serving(..., quantize=...) order this correctly).")
+        out = dict(p)
+        for k in ("w", "w_q", "w_q8a8"):
+            if k in out:
+                out[k] = out[k][..., idx, :]
+        if "lora_a" in out:
+            out["lora_a"] = out["lora_a"][..., idx, :]
+        return out
+
+    qkv_idx = _devmajor_idx((d, d, d), tp)
+    l1_idx = _devmajor_idx((d, d, d, m), tp)
+    l2_idx = _devmajor_idx((d, m), tp)
+
+    out = dict(params)
+    dbl = dict(params["double"])
+    dbl["img_qkv"] = permute_out(params["double"]["img_qkv"], qkv_idx)
+    dbl["txt_qkv"] = permute_out(params["double"]["txt_qkv"], qkv_idx)
+    out["double"] = dbl
+    sng = dict(params["single"])
+    sng["linear1"] = permute_out(params["single"]["linear1"], l1_idx)
+    sng["linear2"] = permute_in(params["single"]["linear2"], l2_idx)
     out["single"] = sng
     return out

@@ -118,9 +118,9 @@ def adapt_specs_to_params(specs, params):
                     # out dim; an in-dim shard would need in/2 divisible,
                     # which holds for all 128-multiple layers)
                     out[k] = wspec
-                elif k == "scale":
+                elif k in ("scale", "amax_lo", "amax_hi"):
                     out[k] = sspec
-                elif k == "absmax4":
+                elif k in ("absmax4", "absmax8"):
                     # (..., in/64, out): same rank/axis layout as w
                     out[k] = wspec
                 else:  # bias

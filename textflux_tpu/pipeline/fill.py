@@ -101,6 +101,11 @@ class FillPipeline:
         flux_cfg, vae_cfg = self.flux_cfg, self.vae_cfg
         clip_cfg, t5_cfg = self.clip_cfg, self.t5_cfg
         attn_impl = self.attn_impl
+        # tensor-parallel fast path (set by shard_for_serving, which then
+        # rebuilds these jits): flux_apply splits the device-major fused
+        # projections locally and runs attention head-parallel via shard_map
+        tp = getattr(self, "_tp", 1)
+        tp_mesh = getattr(self, "mesh", None) if tp > 1 else None
 
         def encode_text(clip_params, t5_params, clip_ids, t5_ids, dtype=jnp.bfloat16):
             _, pooled = clip_encode(clip_params, clip_cfg, clip_ids, dtype=dtype)
@@ -167,6 +172,8 @@ class FillPipeline:
                     attn_impl=attn_impl,
                     kv_len=kv_len,
                     mods=mods_step,
+                    tp=tp,
+                    mesh=tp_mesh,
                 )
                 if sampler == "overshoot":
                     lat = jax.vmap(lambda l, u, k: samplers.overshoot_step(
@@ -342,7 +349,8 @@ class FillPipeline:
     # multi-chip serving
     # ------------------------------------------------------------------
 
-    def shard_for_serving(self, mesh) -> None:
+    def shard_for_serving(self, mesh, quantize: Union[bool, str] = False,
+                          quantize_min_size: int = 1 << 16) -> None:
         """Reshard pipeline params over a ("data", "fsdp", "tensor") mesh:
         the DiT tensor-shards (fits the 12B model on small slices), VAE and
         text encoders replicate, and batches shard over the data axes.
@@ -350,13 +358,34 @@ class FillPipeline:
         This is the TPU-native replacement for the reference's
         process-per-GPU eval farm (scripts/run_eval.py:221-247): one jitted
         program, GSPMD inserts the collectives.
+
+        With a tensor axis > 1 the DiT weights are tp-permuted into
+        device-major fused-column layout and the denoise step recompiles onto
+        the clean-megatron tensor-parallel path (shard_map'd head-parallel
+        attention, 2 all-reduces per block — see tp_permute_flux_params).
+        ``quantize`` (False | "weight_only" | "w8a8" | "nf4" | "mixed")
+        quantizes AFTER the permutation — required ordering for nf4, whose
+        packed rows cannot be permuted post hoc.
         """
         from textflux_tpu.parallel import partitioning as PT
 
         self.mesh = mesh
+        tp = mesh.shape["tensor"]
+        if tp > 1 and getattr(self, "_tp", 1) != tp:
+            self.flux_params = transformer.tp_permute_flux_params(
+                self.flux_params, self.flux_cfg, tp)
+            self._tp = tp
+        if quantize:
+            from textflux_tpu.io.quantize import quantize_tree
+
+            mode = quantize if isinstance(quantize, str) else "weight_only"
+            self.flux_params = quantize_tree(self.flux_params, mode=mode,
+                                             min_size=quantize_min_size)
         specs = PT.adapt_specs_to_params(
             PT.flux_param_specs(self.flux_cfg), self.flux_params)
         self.flux_params = PT.shard_tree(self.flux_params, specs, mesh)
+        if tp > 1:
+            self._build_jits()   # rebind the denoise step to the tp path
         self.vae_params = PT.replicate_tree(self.vae_params, mesh)
         if self.clip_params is not None:
             self.clip_params = PT.replicate_tree(self.clip_params, mesh)
@@ -570,6 +599,9 @@ class FillPipeline:
 
         t_path = transformer_path or os.path.join(base_path, "transformer")
         flux_cfg = flux_config_from(t_path)
+        # tensor>1: quantization moves AFTER the tp permutation (inside
+        # shard_for_serving) so nf4 packs the permuted rows
+        tp_deg = mesh.shape["tensor"] if mesh is not None else 1
 
         def _load_flux(mesh_arg):
             if lora_path is None:
@@ -580,7 +612,7 @@ class FillPipeline:
 
                 fp = load_folded_flux_transformer(
                     t_path, lora_path, flux_cfg, scale=lora_scale, dtype=dtype)
-            if quantize:
+            if quantize and tp_deg == 1:
                 # int8 serving: "weight_only" (True) fits the 12B fill DiT on
                 # a single 16GB chip; "w8a8" additionally runs the matmuls on
                 # the int8 MXU (quality table in ARCHITECTURE.md)
@@ -637,8 +669,13 @@ class FillPipeline:
         )
         if mesh is not None:
             pipe.mesh = mesh
+            if tp_deg > 1 and pipe.flux_params is not None:
+                # tp-permute (post half_permute from __init__) + deferred
+                # quantize + shard + rebind jits to the tp fast path
+                pipe.shard_for_serving(mesh, quantize=quantize)
         if defer_transformer:
             pipe._deferred_flux = _load_flux
+            pipe._deferred_quantize = quantize if tp_deg > 1 else False
         return pipe
 
     def release_text_encoders(self) -> None:
@@ -658,9 +695,13 @@ class FillPipeline:
             return
         if not hasattr(self, "_deferred_flux"):
             raise ValueError("pipeline was not built with defer_transformer=True")
-        params = self._deferred_flux(getattr(self, "mesh", None))
+        mesh = getattr(self, "mesh", None)
+        params = self._deferred_flux(mesh)
         if self.attn_impl == "fused":
             from textflux_tpu.models.transformer import half_permute_flux_params
 
             params = half_permute_flux_params(params, self.flux_cfg)
         self.flux_params = params
+        if mesh is not None and mesh.shape["tensor"] > 1:
+            self.shard_for_serving(
+                mesh, quantize=getattr(self, "_deferred_quantize", False))
