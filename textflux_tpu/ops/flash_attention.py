@@ -22,6 +22,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# exp2-based online softmax: the 1/sqrt(d) scale additionally folds log2(e)
+# into the QK product, so the per-tile softmax runs exp2 directly instead of
+# exp (= exp2(x*log2e) with an extra N^2 VPU multiply). exp2(s2-m2) ==
+# exp(s-m) exactly in the normalized ratio, so outputs are unchanged up to
+# fp32 rounding.
+LOG2_E = 1.4426950408889634
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                   block_k: int, kv_len: int, scale: float, n_chunks: int):
@@ -61,8 +68,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             s = jnp.where(col < kv_len, s, -1e30)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)      # logits pre-scaled by log2(e): == exp
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb,
@@ -146,7 +153,7 @@ def flash_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kv_len = int(kv_len) if kv_len is not None else s
-    scale = 1.0 / math.sqrt(d)
+    scale = LOG2_E / math.sqrt(d)   # exp2 softmax: log2(e) folded in
     # don't let tiny sequences pay for a full oversized q block
     block_q = min(block_q, max(128, -(-s // 128) * 128))
     block_k = min(block_k, max(128, -(-s // 128) * 128))
@@ -559,8 +566,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
                 jnp.int32, (bq, block_k), 1)
             s = jnp.where(col < kv_len, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)      # logits pre-scaled by log2(e): == exp
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -643,7 +650,7 @@ def flash_attention_qk_norm_rope(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kv_len = int(kv_len) if kv_len is not None else s
-    scale = 1.0 / math.sqrt(d)
+    scale = LOG2_E / math.sqrt(d)   # exp2 softmax: log2(e) folded in
     block_q = min(block_q, max(128, -(-s // 128) * 128))
     block_k = min(block_k, max(128, -(-s // 128) * 128))
 
