@@ -258,6 +258,19 @@ def test_full_width_nf4_divergence_bounded(rng):
     assert rel < 0.25, rel
     print(f"nf4 full-width velocity rel err: {rel:.4f}")
 
+    # mixed mode (int8 on the measured NF4-sensitive IO boundary, NF4 on the
+    # block interiors) must land near int8-class error at near-NF4 size —
+    # measured 1.23% velocity / 0.65% E2E vs all-NF4's 13.1% / 6.7%
+    # (benchmarks/bench_quant_quality.py; table in ARCHITECTURE.md)
+    params_mx = quantize_tree(params_bf, mode="mixed")
+    out_mx = apply(params_mx, *args)
+    rel_mx = (np.linalg.norm(np.asarray(out_mx, np.float64) - b)
+              / np.linalg.norm(b))
+    assert quantized_bytes(params_mx) < 0.45 * quantized_bytes(params_bf)
+    assert rel_mx < 0.05, rel_mx
+    assert rel_mx < rel / 3, (rel_mx, rel)
+    print(f"mixed full-width velocity rel err: {rel_mx:.4f}")
+
 
 def test_nf4_half_permuted_fused_path(rng):
     """NF4 leaves must survive half_permute_flux_params (the fused-attention
