@@ -23,9 +23,13 @@ import numpy as np
 
 
 BASELINE_S_PER_IMG = 10.9
+BASELINE_S_PER_IMG_MULTILINE = 15.6   # reference README.md:80 (TextFlux full)
 STEPS = 30
 # 512px single-line: 512x512 scene + 80px glyph strip -> 592x512 canvas (//16)
 HEIGHT, WIDTH = 592, 512
+# multi-line: 1024px scene + full-size glyph canvas stacked vertically
+# (run_inference.py:409-427) -> 2048x1024 canvas, 8192 image tokens
+ML_HEIGHT, ML_WIDTH = 2048, 1024
 T_TXT = 512
 
 
@@ -80,7 +84,8 @@ def step_flops(cfg, t_img: int, t_txt: int) -> float:
     return matmul + attn + mods
 
 
-def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True):
+def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True,
+                height=HEIGHT, width=WIDTH):
     """Per-denoise-step time, as the pipeline runs it: the AdaLN modulation
     vectors are precomputed for the whole schedule (fill.py denoise), so the
     step consumes per-step mod slices. The once-per-image precompute cost is
@@ -93,7 +98,7 @@ def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True):
     from textflux_tpu.ops.rope import rope_tables, rope_tables_half
     from textflux_tpu.utils.benchmarking import time_step
 
-    lat_h, lat_w = HEIGHT // 8, WIDTH // 8
+    lat_h, lat_w = height // 8, width // 8
     ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], 0)
     table_fn = rope_tables_half if attn_impl == "fused" else rope_tables
     cos, sin = table_fn(ids, cfg.axes_dims_rope, cfg.rope_theta)
@@ -164,12 +169,14 @@ def _bench_mods_precompute(cfg, params, steps=STEPS):
     return max(t, floor)
 
 
-def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only"):
+def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only",
+                                height=HEIGHT, width=WIDTH):
     from textflux_tpu.config import FluxConfig
 
     cfg = FluxConfig()
     params = _zero_params(cfg, quantize=mode)
-    t = _bench_step(cfg, params, t_img, t_txt, attn_impl)
+    t = _bench_step(cfg, params, t_img, t_txt, attn_impl, height=height,
+                    width=width)
     t_mods = _bench_mods_precompute(cfg, params)
     del params
     gc.collect()
@@ -195,12 +202,18 @@ def bench_transformer_extrapolated(t_img, t_txt, attn_impl):
     return 19 * td + 38 * ts, times
 
 
-def bench_vae_roundtrip():
+def bench_vae_roundtrip(height=HEIGHT, width=WIDTH, tiled=False):
     import jax
     import jax.numpy as jnp
 
     from textflux_tpu.config import VAEConfig
-    from textflux_tpu.models.vae import init_vae_params, vae_decode, vae_encode
+    from textflux_tpu.models.vae import (
+        init_vae_params,
+        vae_decode,
+        vae_decode_tiled,
+        vae_encode,
+        vae_encode_tiled,
+    )
     from textflux_tpu.utils.benchmarking import time_step
 
     cfg = VAEConfig()
@@ -209,11 +222,14 @@ def bench_vae_roundtrip():
     params = zeros_like_tree(shapes)
 
     def step_fn(params, lat):
+        if tiled:  # the pipeline's large-canvas path (multi-line)
+            img = vae_decode_tiled(params, cfg, lat, tile=128)
+            return vae_encode_tiled(params, cfg, img, tile=128)
         img = vae_decode(params, cfg, lat)
         return vae_encode(params, cfg, img)
 
     jitted = jax.jit(step_fn)
-    lat0 = jnp.zeros((1, HEIGHT // 8, WIDTH // 8, 16), jnp.bfloat16)
+    lat0 = jnp.zeros((1, height // 8, width // 8, 16), jnp.bfloat16)
     t = time_step(lambda lat: jitted(params, lat), lat0, iters_hi=6, iters_lo=2, repeats=2)
     del params
     gc.collect()
@@ -221,6 +237,12 @@ def bench_vae_roundtrip():
 
 
 def bench_text_encoders():
+    """T5 is model-sized and slope-times truthfully. CLIP alone is a MICRO
+    chain: it fits the tunnel's run-ahead window and reads ~0 (the known
+    failure mode — see CLAUDE.md), so it is measured as the *difference*
+    between a chained T5+CLIP step and the T5-only step (both model-sized,
+    same process), floored at the HBM + FLOP lower bound in case the
+    difference is noise-negative."""
     import jax
     import jax.numpy as jnp
 
@@ -236,17 +258,6 @@ def bench_text_encoders():
         shapes)
     t5_params = zeros_like_tree(shapes)
 
-    def t5_step(params, ids):
-        out = t5_encode(params, t5_cfg, ids, dtype=jnp.bfloat16)
-        return (ids + jnp.round(out[:, :, 0]).astype(jnp.int32)) % 32128
-
-    jitted_t5 = jax.jit(t5_step)
-    ids0 = jnp.zeros((1, T_TXT), jnp.int32)
-    t_t5 = time_step(lambda ids: jitted_t5(t5_params, ids), ids0,
-                     iters_hi=6, iters_lo=2, repeats=2)
-    del t5_params
-    gc.collect()
-
     clip_cfg = CLIPTextConfig()
     cshapes = jax.eval_shape(lambda k: init_clip_params(k, clip_cfg), jax.random.PRNGKey(0))
     cshapes = jax.tree.map(
@@ -254,15 +265,35 @@ def bench_text_encoders():
         cshapes)
     clip_params = zeros_like_tree(cshapes)
 
-    def clip_step(params, ids):
-        _, pooled = clip_encode(params, clip_cfg, ids, dtype=jnp.bfloat16)
-        return (ids + jnp.round(pooled[:, :1]).astype(jnp.int32)) % 49408
+    def t5_step(params, ids):
+        out = t5_encode(params, t5_cfg, ids, dtype=jnp.bfloat16)
+        return (ids + jnp.round(out[:, :, 0]).astype(jnp.int32)) % 32128
 
-    jitted_clip = jax.jit(clip_step)
-    cids0 = jnp.zeros((1, 77), jnp.int32)
-    t_clip = time_step(lambda ids: jitted_clip(clip_params, ids), cids0,
-                       iters_hi=6, iters_lo=2, repeats=2)
-    del clip_params
+    def both_step(t5_p, clip_p, ids):
+        ids = t5_step(t5_p, ids)
+        # CLIP consumes ids derived from the T5 output (data dependence keeps
+        # the chain serialized through the tunnel's run-ahead window)
+        _, pooled = clip_encode(clip_p, clip_cfg, ids[:, :77] % 49408,
+                                dtype=jnp.bfloat16)
+        return (ids + jnp.round(pooled[:, :1]).astype(jnp.int32)) % 32128
+
+    ids0 = jnp.zeros((1, T_TXT), jnp.int32)
+    jitted_t5 = jax.jit(t5_step)
+    t_t5 = time_step(lambda ids: jitted_t5(t5_params, ids), ids0,
+                     iters_hi=6, iters_lo=2, repeats=2)
+    jitted_both = jax.jit(both_step)
+    t_both = time_step(lambda ids: jitted_both(t5_params, clip_params, ids),
+                       ids0, iters_hi=6, iters_lo=2, repeats=2)
+
+    # lower bound: every CLIP weight read once from HBM + matmul FLOPs at peak
+    clip_bytes = sum(np.prod(sd.shape) * 2 for sd in jax.tree.leaves(cshapes))
+    d, m, layers, seq = (clip_cfg.hidden_dim, clip_cfg.mlp_dim,
+                         clip_cfg.num_layers, 77)
+    clip_flops = 2.0 * seq * layers * (4 * d * d + 2 * d * m)
+    floor = clip_bytes / 819e9 + clip_flops / 197e12
+    t_clip = max(t_both - t_t5, floor)
+
+    del t5_params, clip_params
     gc.collect()
     return t_t5, t_clip
 
@@ -293,6 +324,27 @@ def main():
     t_vae = bench_vae_roundtrip()
     t_t5, t_clip = bench_text_encoders()
 
+    # multi-line counterpart of the reference's 15.6 s/img row (README.md:80):
+    # 1024px scene + full-size glyph canvas -> 2048x1024, 8704 joint tokens,
+    # tiled VAE + chunked flash kernels
+    if mode == "full_w8a8_direct":
+        try:
+            ml_lat_h, ml_lat_w = ML_HEIGHT // 8, ML_WIDTH // 8
+            t_img_ml = (ml_lat_h // 2) * (ml_lat_w // 2)
+            t_step_ml, _ = bench_transformer_full_int8(
+                t_img_ml, T_TXT, attn, mode="w8a8",
+                height=ML_HEIGHT, width=ML_WIDTH)
+            t_vae_ml = bench_vae_roundtrip(ML_HEIGHT, ML_WIDTH, tiled=True)
+            s_ml = STEPS * t_step_ml + t_mods + t_vae_ml + t_t5 + t_clip
+            extra["multiline_step_s"] = round(t_step_ml, 5)
+            extra["multiline_vae_tiled_s"] = round(t_vae_ml, 5)
+            extra["multiline_s_per_img"] = round(s_ml, 4)
+            extra["multiline_joint_seq_len"] = t_img_ml + T_TXT
+            extra["multiline_vs_baseline"] = round(
+                BASELINE_S_PER_IMG_MULTILINE / s_ml, 2)
+        except Exception as e:
+            extra["multiline_error"] = f"{type(e).__name__}: {e}"[:200]
+
     flops = step_flops(FluxConfig(), t_img, T_TXT)
     tflops = flops / t_step / 1e12
     # v5e peaks: 197 TFLOP/s bf16, 394 TOPS int8 (attention stays bf16, so
@@ -317,7 +369,7 @@ def main():
             "joint_seq_len": t_img + T_TXT,
             **extra,
         },
-        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention, whole-schedule AdaLN modulation precompute (mod weights ~27% of params read once per image, not per step; its per-image cost is in the breakdown); weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens).",
+        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention, whole-schedule AdaLN modulation precompute (mod weights ~27% of params read once per image, not per step; its per-image cost is in the breakdown); weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens). clip_s = (T5+CLIP chained) - (T5 alone), floored at the HBM+FLOP bound (CLIP alone is a micro chain the tunnel mis-times as ~0). multiline_* rows: 2048x1024 canvas / 8704 joint tokens vs the reference's 15.6 s/img multi-line row.",
     }
     print(json.dumps(result))
 

@@ -176,13 +176,16 @@ def main():
     p.add_argument("--quantize", action="store_true",
                    help="quantized DiT + int8 T5 for co-resident interactive "
                         "serving. The int8 modes (weight_only/w8a8) fit 24GB+ "
-                        "devices; --quantize-mode nf4 fits the FULL stack on "
-                        "a 16GB chip (the interactive-demo mode — slower and "
-                        "lower quality than int8). For batch work on 16GB "
-                        "prefer the batch CLIs' --staged-text")
+                        "devices; --quantize-mode mixed (or nf4) fits the FULL "
+                        "stack on a 16GB chip (the interactive-demo mode — "
+                        "slower than int8; mixed keeps int8-class quality). "
+                        "For batch work on 16GB prefer the batch CLIs' "
+                        "--staged-text")
     p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
                    default="weight_only",
-                   help="nf4 = 4-bit DiT, whole stack co-resident on 16GB")
+                   help="mixed = 4-bit block interiors + int8 IO boundary: "
+                        "whole stack co-resident on 16GB at int8-class "
+                        "quality (recommended over plain nf4)")
     p.add_argument("--mesh", default=None,
                    help="dp,fsdp,tp — tensor-shard the DiT for co-resident "
                         "bf16 serving on a multi-chip slice")

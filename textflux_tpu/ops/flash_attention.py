@@ -640,9 +640,14 @@ def flash_attention_qk_norm_rope(
     """
     b, s, h, d = q.shape
     if block_q is None:
-        block_q = _auto_block(s) if s <= 6144 else 1024
+        # chunked path (s > 6144): exact-fit blocks win there too — 1088/1088
+        # measured 10.5 ms vs the old 1024/512 default's 14.2 ms at S=8704
+        # (26%: zero seq padding + fewer, larger MXU issues). hi=1088 is the
+        # measured scoped-VMEM ceiling: 1280-blocks fail to compile (the f32
+        # score-tile temporaries exceed the 16 MiB kernel stack).
+        block_q = _auto_block(s) if s <= 6144 else _auto_block(s, lo=512, hi=1088)
     if block_k is None:
-        block_k = block_q if s <= 6144 else 512
+        block_k = block_q
     if q_scale.ndim == 1:
         q_scale = jnp.broadcast_to(q_scale[None, :], (s, d))
     if k_scale.ndim == 1:
@@ -676,8 +681,19 @@ def flash_attention_qk_norm_rope(
 
     # single-pass while K/V + their fp32 rope/scale tables fit VMEM (6144 was
     # the measured compile ceiling of the whole-KV layout; chunking when
-    # unnecessary measured 3.5 -> 6.6 ms at S=4608), 2048-token chunks beyond
-    kv_chunk = sp if sp <= 6144 else 2048
+    # unnecessary measured 3.5 -> 6.6 ms at S=4608); beyond, stream K/V in
+    # block_k-multiple chunks <= 4096 (the VMEM residency cap), preferring
+    # zero kv padding, then the chunk closest to the measured-good ~2048
+    if sp <= 6144:
+        kv_chunk = sp
+    else:
+        best = None
+        for m in range(1, max(1, 4096 // block_k) + 1):
+            c = m * block_k
+            key = (-(-sp // c) * c, abs(c - 2048))
+            if best is None or key < best[0]:
+                best = (key, c)
+        kv_chunk = best[1]
     kp = _pad_to(kp, 1, kv_chunk)
     vp = _pad_to(vp, 1, kv_chunk)
     # two-stage pad (blk, then kv_chunk) so the K tables ALWAYS match kp's
@@ -692,7 +708,11 @@ def flash_attention_qk_norm_rope(
     # chunk sizes so the whole-chunk fp32 temporaries can't blow the VMEM
     # stack on long sequences. The cap applies to an explicit hoist_k=True
     # too (it errors instead of silently unrolling outside the envelope).
-    hoist_ok = kv_chunk // block_k <= 8 and kv_chunk <= 4096
+    # n_chunks == 1 is load-bearing: with streamed K/V the chunk-carried
+    # accumulators coexist with the whole-chunk fp32 K temporaries and the
+    # kernel exceeds the 16 MiB scoped-VMEM stack (measured at S=8704:
+    # 19.2 MiB requested; hoist-off compiles and runs 18.6 ms).
+    hoist_ok = n_chunks == 1 and kv_chunk // block_k <= 8 and kv_chunk <= 4096
     if hoist_k is None:
         hoist_k = hoist_ok
     elif hoist_k and not hoist_ok:
