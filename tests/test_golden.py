@@ -93,6 +93,24 @@ def test_golden_w8a8():
     _check("int8_w8a8", _run(pipe), atol=2e-3)
 
 
+def test_golden_nf4_and_mixed():
+    """NF4 and mixed int8/NF4 paths. FLUX_TINY's hidden dim (16) makes every
+    dense fall back to weight_only (NF4 needs in-dim % 128 == 0), so this
+    golden uses a width-128 tiny config: the half-split nibble packing, the
+    per-64-row absmax, the double-quantized absmax and the mixed IO-boundary
+    policy (io/quantize.py MIXED_INT8_NAMES) are all exercised end to end."""
+    from textflux_tpu.io.quantize import quantize_tree
+    from helpers import tiny_pipeline_wide
+
+    pipe = tiny_pipeline_wide()
+    base = pipe.flux_params
+    pipe.flux_params = quantize_tree(base, min_size=0, mode="nf4")
+    _check("nf4_w128", _run(pipe), atol=2e-3)
+    pipe.flux_params = quantize_tree(base, min_size=0, mode="mixed",
+                                     double_quant=True)
+    _check("mixed_dq_w128", _run(pipe), atol=2e-3)
+
+
 def test_golden_rendered_canvas():
     """The host-side glyph-render + concat path: strip render, vstack, mask
     extension. Loose mean tolerance absorbs sub-pixel antialiasing drift in

@@ -503,6 +503,20 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
 # Fused RMSNorm + RoPE + attention kernel
 # ---------------------------------------------------------------------------
 
+# Chunked-path (S > 6144) auto-selection envelope, set by IN-MODEL slope
+# measurement at the 2048x1024 multi-line serving shape (S=8704, full width,
+# W8A8): exact-fit 1088/544, 544/544, and 1088/1088 (chunk 1088 or 2176) all
+# time within ~0.7% of each other at depth 12 — the block shape is not a
+# lever here (an earlier standalone probe suggesting 26% used
+# block_until_ready, which the tunnel mis-reports). The cap that matters is
+# compile headroom: 1088/1088+chunk2176 compiles standalone and at depth 12
+# but blows the 16 MiB scoped-VMEM stack by 1.34M inside the FULL-depth
+# scan (the f32 score tile coexists with the scan body's weight-slice
+# prefetch buffers), so block_k caps at 544 — zero measured cost.
+CHUNKED_BLOCK_Q_HI = 1088
+CHUNKED_BLOCK_K_HI = 544
+CHUNK_TARGET = 2048
+
 def _norm_rope(x, cos2, sin2, eps: float):
     """fp32 per-head RMSNorm + rotate-half RoPE on a (rows, D) tile.
 
@@ -640,14 +654,15 @@ def flash_attention_qk_norm_rope(
     """
     b, s, h, d = q.shape
     if block_q is None:
-        # chunked path (s > 6144): exact-fit blocks win there too — 1088/1088
-        # measured 10.5 ms vs the old 1024/512 default's 14.2 ms at S=8704
-        # (26%: zero seq padding + fewer, larger MXU issues). hi=1088 is the
-        # measured scoped-VMEM ceiling: 1280-blocks fail to compile (the f32
-        # score-tile temporaries exceed the 16 MiB kernel stack).
-        block_q = _auto_block(s) if s <= 6144 else _auto_block(s, lo=512, hi=1088)
+        # chunked path (s > 6144): exact-fit blocks (zero sequence padding)
+        # with block_k capped for full-depth scoped-VMEM headroom — see the
+        # CHUNKED_* constants' note; the block shape itself measured flat
+        # (±0.7%) in-model at S=8704.
+        block_q = (_auto_block(s) if s <= 6144 else
+                   _auto_block(s, lo=512, hi=CHUNKED_BLOCK_Q_HI))
     if block_k is None:
-        block_k = block_q
+        block_k = (block_q if s <= 6144 else
+                   min(block_q, _auto_block(s, lo=256, hi=CHUNKED_BLOCK_K_HI)))
     if q_scale.ndim == 1:
         q_scale = jnp.broadcast_to(q_scale[None, :], (s, d))
     if k_scale.ndim == 1:
@@ -690,7 +705,7 @@ def flash_attention_qk_norm_rope(
         best = None
         for m in range(1, max(1, 4096 // block_k) + 1):
             c = m * block_k
-            key = (-(-sp // c) * c, abs(c - 2048))
+            key = (-(-sp // c) * c, abs(c - CHUNK_TARGET))
             if best is None or key < best[0]:
                 best = (key, c)
         kv_chunk = best[1]
