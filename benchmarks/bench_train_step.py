@@ -19,7 +19,10 @@ from textflux_tpu.training import train as TR
 
 print("backend:", jax.default_backend())
 H, W = 592, 512            # 512px single-line canvas
+if "--canvas" in sys.argv:  # e.g. --canvas 1024x512 = multi-line full-canvas
+    H, W = map(int, sys.argv[sys.argv.index("--canvas") + 1].split("x"))
 T_TXT = 512
+print(f"canvas {H}x{W} -> joint seq {(H//16)*(W//16) + T_TXT}")
 
 vae_cfg = VAEConfig()
 rng = np.random.default_rng(0)
@@ -158,7 +161,8 @@ def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
         ts.append((iters, time.perf_counter() - t0))
     t = (ts[1][1] - ts[0][1]) / (ts[1][0] - ts[0][0])
     print(f"MEASURED full-depth ({nd}+{ns}) QLoRA train step "
-          f"(base={quantize_base}, rank {rank}, B=1, 1696 tokens, remat, "
+          f"(base={quantize_base}, rank {rank}, B=1, "
+          f"{(H//16)*(W//16) + T_TXT} tokens, remat, "
           f"{'8-bit' if use_8bit_adam else 'fp32'} Adam): "
           f"{t*1000:.0f} ms -> {1/t:.2f} steps/s")
     return t

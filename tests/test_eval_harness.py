@@ -173,7 +173,12 @@ def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
     for name in names:
         a = np.asarray(Image.open(tmp / "sharded" / "full_images" / name), np.int16)
         b = np.asarray(Image.open(tmp / "unsharded" / "full_images" / name), np.int16)
-        np.testing.assert_allclose(a, b, atol=2, err_msg=name)
+        # atol 4: sharded vs unsharded reassociates f32 accumulations, and the
+        # two runs may mix fresh XLA:CPU compiles with persistent-cache AOT
+        # loads whose codegen differs by a ULP (observed: 0.05% of pixels off
+        # by 3 after a host-generation change invalidated the cache's machine
+        # features) — pixel-identical is not the contract, close is
+        np.testing.assert_allclose(a, b, atol=4, err_msg=name)
 
 
 def test_run_eval_cli_staged_text(monkeypatch, two_bucket_fixture):

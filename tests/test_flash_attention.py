@@ -331,3 +331,36 @@ def test_hoist_k_explicit_outside_envelope_errors(rng):
     with pytest.raises(ValueError, match="hoist_k=True outside"):
         flash_attention_qk_norm_rope(
             q, q, q, cos, sin, qs, qs, block_q=128, block_k=128, hoist_k=True)
+
+
+def test_chunked_auto_selection_invariants():
+    """The fused kernel's auto block/chunk plan must keep every divisibility
+    invariant the dispatch enforces (a violation raises at call time and, on
+    the silent side, would drop tail tokens) and stay inside the full-depth
+    scoped-VMEM envelope measured in-model (CHUNKED_* constants)."""
+    from textflux_tpu.ops.flash_attention import (
+        CHUNKED_BLOCK_K_HI,
+        CHUNKED_BLOCK_Q_HI,
+        fused_auto_blocks,
+        pick_kv_chunk,
+    )
+
+    for s in [512, 1696, 2560, 4608, 6144, 6400, 8704, 12800, 16896, 20000]:
+        bq, bk = fused_auto_blocks(s)
+        assert bq % 8 == 0 and bk % 8 == 0
+        assert bk <= bq
+        sp = -(-s // max(bq, bk)) * max(bq, bk)
+        kv_chunk = pick_kv_chunk(sp, bk)
+        assert kv_chunk % bk == 0, (s, bk, kv_chunk)
+        kv_pad = -(-sp // kv_chunk) * kv_chunk
+        assert kv_pad % kv_chunk == 0 and sp % bq == 0
+        if s > 6144:
+            assert bq <= CHUNKED_BLOCK_Q_HI and bk <= CHUNKED_BLOCK_K_HI
+            assert kv_chunk <= 4096
+        else:
+            assert kv_chunk == sp  # single-pass: chunking when unnecessary
+            #  measured 2x slower
+    # the serving shapes pad nothing at all
+    for s, want_q in [(1696, 848), (2560, 640)]:
+        bq, bk = fused_auto_blocks(s)
+        assert bq == want_q and s % bq == 0 and s % bk == 0

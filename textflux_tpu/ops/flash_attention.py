@@ -517,6 +517,31 @@ CHUNKED_BLOCK_Q_HI = 1088
 CHUNKED_BLOCK_K_HI = 544
 CHUNK_TARGET = 2048
 
+
+def fused_auto_blocks(s: int):
+    """Auto (block_q, block_k) for flash_attention_qk_norm_rope at seq s:
+    single-pass exact-fit below 6144, capped exact-fit on the chunked path."""
+    if s <= 6144:
+        bq = _auto_block(s)
+        return bq, bq
+    bq = _auto_block(s, lo=512, hi=CHUNKED_BLOCK_Q_HI)
+    return bq, min(bq, _auto_block(s, lo=256, hi=CHUNKED_BLOCK_K_HI))
+
+
+def pick_kv_chunk(sp: int, block_k: int) -> int:
+    """Resident K/V chunk for the streaming path: a block_k multiple <= 4096
+    (VMEM residency cap), preferring zero kv padding, then closeness to the
+    measured-good CHUNK_TARGET."""
+    if sp <= 6144:
+        return sp
+    best = None
+    for m in range(1, max(1, 4096 // block_k) + 1):
+        c = m * block_k
+        key = (-(-sp // c) * c, abs(c - CHUNK_TARGET))
+        if best is None or key < best[0]:
+            best = (key, c)
+    return best[1]
+
 def _norm_rope(x, cos2, sin2, eps: float):
     """fp32 per-head RMSNorm + rotate-half RoPE on a (rows, D) tile.
 
@@ -653,16 +678,11 @@ def flash_attention_qk_norm_rope(
         double-stream blocks use different txt/img norms).
     """
     b, s, h, d = q.shape
+    auto_q, auto_k = fused_auto_blocks(s)
     if block_q is None:
-        # chunked path (s > 6144): exact-fit blocks (zero sequence padding)
-        # with block_k capped for full-depth scoped-VMEM headroom — see the
-        # CHUNKED_* constants' note; the block shape itself measured flat
-        # (±0.7%) in-model at S=8704.
-        block_q = (_auto_block(s) if s <= 6144 else
-                   _auto_block(s, lo=512, hi=CHUNKED_BLOCK_Q_HI))
+        block_q = auto_q
     if block_k is None:
-        block_k = (block_q if s <= 6144 else
-                   min(block_q, _auto_block(s, lo=256, hi=CHUNKED_BLOCK_K_HI)))
+        block_k = auto_k if block_q == auto_q else block_q
     if q_scale.ndim == 1:
         q_scale = jnp.broadcast_to(q_scale[None, :], (s, d))
     if k_scale.ndim == 1:
@@ -697,18 +717,8 @@ def flash_attention_qk_norm_rope(
     # single-pass while K/V + their fp32 rope/scale tables fit VMEM (6144 was
     # the measured compile ceiling of the whole-KV layout; chunking when
     # unnecessary measured 3.5 -> 6.6 ms at S=4608); beyond, stream K/V in
-    # block_k-multiple chunks <= 4096 (the VMEM residency cap), preferring
-    # zero kv padding, then the chunk closest to the measured-good ~2048
-    if sp <= 6144:
-        kv_chunk = sp
-    else:
-        best = None
-        for m in range(1, max(1, 4096 // block_k) + 1):
-            c = m * block_k
-            key = (-(-sp // c) * c, abs(c - CHUNK_TARGET))
-            if best is None or key < best[0]:
-                best = (key, c)
-        kv_chunk = best[1]
+    # block_k-multiple chunks (pick_kv_chunk)
+    kv_chunk = pick_kv_chunk(sp, block_k)
     kp = _pad_to(kp, 1, kv_chunk)
     vp = _pad_to(vp, 1, kv_chunk)
     # two-stage pad (blk, then kv_chunk) so the K tables ALWAYS match kp's
