@@ -94,3 +94,95 @@ def test_bucketed_loader_no_mixed_shapes(tmp_path, rng):
     for b in loader:
         h, w = b["bucket"]
         assert b["pixel_values"].shape[2:4] == (h, w)
+
+
+def test_bucket_quant_bounds_cardinality_and_fills_batches(tmp_path, rng):
+    """Arbitrary aspect ratios explode the raw (H, W) bucket space, so B>1
+    shape-uniform batches never fill on small datasets (drop_last discards
+    everything). bucket_quant=128 snaps the short side to a coarse lattice:
+    bounded bucket count, B=8 batches actually form; quant=32 stays exact
+    reference sizing (one //32 floor)."""
+    from textflux_tpu.data.loader import BucketedLoader
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    data = {"data_list": []}
+    for i in range(48):
+        name = f"img_{i}.png"
+        h = int(rng.integers(300, 700))
+        w = int(rng.integers(300, 700))
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(img_root / name)
+        data["data_list"].append({
+            "img_name": name,
+            "annotations": [{"text": f"word{i}",
+                             "polygon": [[10, 10], [80, 10], [80, 40], [10, 40]]}],
+        })
+    json_path = tmp_path / "data.json"
+    json_path.write_text(json.dumps(data))
+
+    ds32 = AnyWordSingleLineDataset([(str(json_path), str(img_root))],
+                                    resolutions=[512], seed=3)
+    ds128 = AnyWordSingleLineDataset([(str(json_path), str(img_root))],
+                                     resolutions=[512], seed=3, bucket_quant=128)
+    buckets32 = {ds32[i]["bucket"] for i in range(len(ds32))}
+    buckets128 = set()
+    for i in range(len(ds128)):
+        s = ds128[i]
+        h, w = s["bucket"]
+        assert h % 32 == 0 and w % 32 == 0
+        assert (h % 128 == 0) or (w % 128 == 0)  # short side on the lattice
+        buckets128.add((h, w))
+    assert len(buckets128) < len(buckets32)
+    assert len(buckets128) <= 8
+
+    loader = BucketedLoader(ds128, batch_size=8, num_workers=4, seed=0)
+    batches = list(loader)
+    assert batches, "quantized buckets must fill B=8 batches"
+    for b in batches:
+        assert b["pixel_values"].shape[1] == 8
+
+
+def test_bucketed_loader_process_mode(tmp_path, rng):
+    """num_procs>0: persistent spawn pool yields the same batches-per-epoch
+    as thread mode, survives multiple epochs + a mid-epoch abandonment, and
+    close() releases the workers."""
+    import functools
+
+    from textflux_tpu.data.loader import BucketedLoader
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    data = {"data_list": []}
+    for i in range(12):
+        name = f"img_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (200, 200, 3), np.uint8)).save(img_root / name)
+        data["data_list"].append({
+            "img_name": name,
+            "annotations": [{"text": f"word{i}",
+                             "polygon": [[10, 10], [80, 10], [80, 40], [10, 40]]}],
+        })
+    json_path = tmp_path / "data.json"
+    json_path.write_text(json.dumps(data))
+
+    factory = functools.partial(
+        AnyWordSingleLineDataset, [(str(json_path), str(img_root))],
+        resolutions=[128], seed=5, bucket_quant=128)
+    ds = factory()
+    thread_batches = list(BucketedLoader(ds, batch_size=2, num_workers=2, seed=0))
+
+    loader = BucketedLoader(ds, batch_size=2, num_procs=2,
+                            dataset_factory=factory, seed=0)
+    try:
+        for _ in range(2):  # persistent pool across epochs
+            proc_batches = list(loader)
+            assert len(proc_batches) == len(thread_batches)
+            b = proc_batches[0]
+            assert b["pixel_values"].shape[1] == 2
+            assert np.isfinite(b["pixel_values"]).all()
+        it = iter(loader)  # mid-epoch abandonment resets the pool cleanly
+        next(it)
+        it.close()
+        assert len(list(loader)) == len(thread_batches)
+    finally:
+        loader.close()
+    assert loader._pool is None

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -55,6 +56,15 @@ def parse_args(argv=None):
                    default="constant")
     p.add_argument("--lr-warmup-steps", type=int, default=0)
     p.add_argument("--train-batch-size", type=int, default=1)
+    p.add_argument("--bucket-quant", type=int, default=None,
+                   help="short-side snap multiple for resolution buckets "
+                        "(default: 32 at B=1 = exact reference sizing, 128 "
+                        "at B>1 so shape-uniform batches fill)")
+    p.add_argument("--loader-procs", type=int, default=0,
+                   help="sample-prep worker PROCESSES (persistent spawn "
+                        "pool, the torch num_workers equivalent); 0 = "
+                        "thread prefetch (default — measured ~36 items/s, "
+                        "ample for the ~1-4 items/s the 12B step consumes)")
     p.add_argument("--grad-accum", type=int, default=8)
     p.add_argument("--guidance-scale", type=float, default=1.0)
     p.add_argument("--weighting-scheme", default="none")
@@ -81,14 +91,23 @@ def build_dataset(args):
     )
 
     resolutions = args.resolution or PREFERRED_RESOLUTIONS
+    # B>1 TPU batches must be shape-uniform; coarsen the aspect lattice so
+    # buckets actually fill (data/dataset.py _snap_bucket). B=1 keeps exact
+    # reference sizing.
+    quant = args.bucket_quant
+    if quant is None:
+        quant = 128 if args.train_batch_size > 1 else 32
     if args.data_json:
         return AnyWordSingleLineDataset(
-            [(args.data_json, args.data_images)], resolutions=resolutions, seed=args.seed)
+            [(args.data_json, args.data_images)], resolutions=resolutions,
+            seed=args.seed, bucket_quant=quant)
     if args.multi_dataset:
         return UnionDataset(args.data_dir, img_size=resolutions,
-                            caption_type=args.caption_type, seed=args.seed)
+                            caption_type=args.caption_type, seed=args.seed,
+                            bucket_quant=quant)
     return CombinedFolderDataset(args.data_dir, img_size=resolutions,
-                                 caption_type=args.caption_type, seed=args.seed)
+                                 caption_type=args.caption_type,
+                                 seed=args.seed, bucket_quant=quant)
 
 
 def main(argv=None):
@@ -219,8 +238,13 @@ def main(argv=None):
                 print(f"resumed from step {state['step']}")
 
         dataset = build_dataset(args)
-        loader = BucketedLoader(dataset, batch_size=args.train_batch_size,
-                                grad_accum=args.grad_accum, seed=args.seed)
+        loader = BucketedLoader(
+            dataset, batch_size=args.train_batch_size,
+            grad_accum=args.grad_accum, seed=args.seed,
+            num_procs=args.loader_procs,
+            # spawn-picklable: module-level fn + argparse Namespace
+            dataset_factory=(functools.partial(build_dataset, args)
+                             if args.loader_procs else None))
         bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
 
         from textflux_tpu.utils.tracking import Tracker, profile_trace

@@ -49,6 +49,29 @@ def _snap32(img: Image.Image) -> Image.Image:
     return img.resize(((w // 32) * 32, (h // 32) * 32))
 
 
+def _snap_bucket(img: Image.Image, quant: int) -> Image.Image:
+    """//32 snap (reference behavior) with the SHORT side additionally
+    rounded to a multiple of `quant`.
+
+    Arbitrary aspect ratios make the raw (H, W) bucket key high-cardinality
+    (the short side lands on any //32 step), so B>1 TPU batches — which must
+    be shape-uniform for XLA — form slowly and drop_last discards heavily on
+    small datasets. quant=32 is exact reference sizing (one //32 floor, as
+    scripts/train uses); quant=128 bounds the bucket count to ~5 per
+    resolution at <=10% extra aspect distortion (the reference's own //32
+    snap already stretches by up to 31px, so distortion is in-family)."""
+    if quant <= 32:
+        return _snap32(img)
+    w, h = img.size
+    if w >= h:
+        w2 = (w // 32) * 32
+        h2 = max(quant, int(round(h / quant)) * quant)
+    else:
+        h2 = (h // 32) * 32
+        w2 = max(quant, int(round(w / quant)) * quant)
+    return img.resize((w2, h2))
+
+
 def _augment_mask(mask: np.ndarray, rng: random.Random) -> np.ndarray:
     """Random dilate/erode (70% none / 10% dilate1 / 10% erode1 / 5% dilate2 /
     5% erode2), via the native C++ morphology kernels (cv2 fallback)."""
@@ -77,8 +100,10 @@ class AnyWordSingleLineDataset:
         max_chars: int = 35,
         font_path: Optional[str] = None,
         seed: int = 0,
+        bucket_quant: int = 32,   # see _snap_bucket; raise to 128 for B>1
     ):
         self.resolutions = list(resolutions)
+        self.bucket_quant = bucket_quant
         self.max_chars = max_chars
         self.font = load_font(font_path, 60)
         self.rng = random.Random(seed)
@@ -132,7 +157,7 @@ class AnyWordSingleLineDataset:
             np.vstack((np.zeros((strip.height, w), np.uint8), mask)))
 
         size = self.rng.choice(self.resolutions)
-        combined = _snap32(image_resize(combined, size))
+        combined = _snap_bucket(image_resize(combined, size), self.bucket_quant)
         combined_mask = combined_mask.resize(combined.size)
 
         pixels = np.asarray(combined, np.float32) / 127.5 - 1.0
@@ -158,11 +183,13 @@ class CombinedFolderDataset:
         caption_type: str = "txt",
         expand_prompt: bool = True,
         seed: int = 0,
+        bucket_quant: int = 32,   # see _snap_bucket; raise to 128 for B>1
     ):
         self.images = sorted(
             os.path.join(img_dir, f) for f in os.listdir(img_dir)
             if f.endswith((".jpg", ".png")))
         self.img_size = img_size
+        self.bucket_quant = bucket_quant
         self.caption_type = caption_type
         self.expand_prompt = expand_prompt
         self.mask_dir = os.path.join(img_dir, "mask")
@@ -184,7 +211,7 @@ class CombinedFolderDataset:
         img = Image.open(path).convert("RGB")
         size = self.rng.choice(self.img_size) if isinstance(self.img_size, (list, tuple)) \
             else self.img_size
-        img = _snap32(image_resize(img, size))
+        img = _snap_bucket(image_resize(img, size), self.bucket_quant)
 
         stem, ext = os.path.splitext(os.path.basename(path))
         cap_path = os.path.splitext(path)[0] + "." + self.caption_type

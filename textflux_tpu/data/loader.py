@@ -2,12 +2,23 @@
 
 TPU-first replacement for the reference's torch DataLoader(num_workers=8)
 (scripts/train.py:775-780): XLA compiles one program per input shape, so
-batches are grouped by (H, W) bucket — a batch never mixes resolutions — and a
-thread pool keeps decode/render work off the accelerator-feeding thread.
+batches are grouped by (H, W) bucket — a batch never mixes resolutions.
+
+Two prefetch backends:
+- threads (default): keeps decode/render work off the accelerator-feeding
+  thread. Latency-hiding, but PIL/numpy sample prep is largely GIL-bound —
+  measured ~14 items/s with 4 threads vs ~25 sequential on synthetic
+  AnyWord samples (threads can run *slower* than sequential under GIL
+  thrash).
+- processes (num_procs > 0 + dataset_factory): spawn workers that each
+  build their own dataset instance and stream samples back — the torch
+  worker-process equivalent, needed when B x grad_accum x data-parallel
+  consumption outruns one GIL.
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import random
 import threading
@@ -17,12 +28,36 @@ from typing import Callable, Dict, Iterator, List, Optional
 import numpy as np
 
 
+_SKIP = "__textflux_skip__"
+
+
+def _proc_worker(factory, idx_q, sample_q):
+    """Worker-process loop: build the dataset ONCE locally, then stream
+    samples back forever (persistent across epochs — spawn + font load are
+    paid once, not per epoch). Top-level (spawn-picklable); exits on the
+    None sentinel or with the parent (daemon). Every index gets exactly one
+    reply (sample or skip marker) so the parent can count an epoch out."""
+    ds = factory()
+    while True:
+        i = idx_q.get()
+        if i is None:
+            return
+        try:
+            sample_q.put(ds[i])
+        except Exception:
+            sample_q.put(_SKIP)
+
+
 class BucketedLoader:
     """Iterate dict batches with leading (grad_accum, batch) axes, one
     resolution bucket per batch.
 
     dataset[i] must return {"pixel_values": (H,W,3), "mask": (H,W),
     "prompt": str, "clip_prompt": str, "bucket": (H, W)}.
+
+    With num_procs > 0, `dataset_factory` (a picklable zero-arg callable
+    returning the dataset) must be given; sample prep then runs in spawned
+    worker processes instead of threads.
     """
 
     def __init__(
@@ -34,6 +69,8 @@ class BucketedLoader:
         shuffle: bool = True,
         seed: int = 0,
         num_workers: int = 8,
+        num_procs: int = 0,
+        dataset_factory: Optional[Callable] = None,
         prefetch: int = 4,
         drop_last: bool = True,
     ):
@@ -43,9 +80,43 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = max(1, num_workers)
+        self.num_procs = num_procs
+        self.dataset_factory = dataset_factory
+        if num_procs > 0 and dataset_factory is None:
+            raise ValueError("num_procs > 0 requires dataset_factory "
+                             "(workers rebuild the dataset in-process)")
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.samples_per_batch = batch_size * grad_accum
+        self._pool = None  # persistent process pool (lazy; process mode)
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            ctx = mp.get_context("spawn")  # fork would clone jax/TPU state
+            idx_q = ctx.Queue()
+            sample_q = ctx.Queue(
+                maxsize=self.prefetch * self.samples_per_batch * 2)
+            procs = [ctx.Process(target=_proc_worker,
+                                 args=(self.dataset_factory, idx_q, sample_q),
+                                 daemon=True)
+                     for _ in range(self.num_procs)]
+            for p in procs:
+                p.start()
+            self._pool = (idx_q, sample_q, procs)
+        return self._pool
+
+    def close(self):
+        """Stop the persistent worker processes (daemons also die with the
+        parent; call this to release them early)."""
+        if self._pool is not None:
+            idx_q, _, procs = self._pool
+            for _ in procs:
+                idx_q.put(None)
+            for p in procs:
+                p.join(timeout=2)
+                if p.is_alive():
+                    p.terminate()
+            self._pool = None
 
     def _collate(self, samples: List[dict]) -> dict:
         a, b = self.grad_accum, self.batch_size
@@ -66,41 +137,60 @@ class BucketedLoader:
             rng.shuffle(order)
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        idx_q: "queue.Queue" = queue.Queue()
-        for i in order:
-            idx_q.put(i)
         stop = threading.Event()
-        sample_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.samples_per_batch * 2)
 
-        def worker():
-            while not stop.is_set():
-                try:
-                    i = idx_q.get_nowait()
-                except queue.Empty:
-                    sample_q.put(None)
-                    return
-                try:
-                    sample_q.put(self.dataset[i])
-                except Exception:
-                    continue
+        if self.num_procs > 0:
+            idx_q, sample_q, _ = self._ensure_pool()
+            for i in order:
+                idx_q.put(i)
 
-        threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
-        for t in threads:
-            t.start()
+            def drained(expected=len(order)):
+                """Yield exactly one reply per enqueued index (count-based
+                epoch end; a persistent pool has no per-epoch sentinels)."""
+                for _ in range(expected):
+                    s = sample_q.get()
+                    if not (isinstance(s, str) and s == _SKIP):
+                        yield s
+        else:
+            idx_q = queue.Queue()
+            for i in order:
+                idx_q.put(i)
+            sample_q = queue.Queue(maxsize=self.prefetch * self.samples_per_batch * 2)
+
+            def worker():
+                while not stop.is_set():
+                    try:
+                        i = idx_q.get_nowait()
+                    except queue.Empty:
+                        sample_q.put(None)
+                        return
+                    try:
+                        sample_q.put(self.dataset[i])
+                    except Exception:
+                        continue
+
+            threads = [threading.Thread(target=worker, daemon=True)
+                       for _ in range(self.num_workers)]
+            for t in threads:
+                t.start()
+
+            def drained(n_workers=self.num_workers):
+                finished = 0
+                while finished < n_workers:
+                    s = sample_q.get()
+                    if s is None:
+                        finished += 1
+                        continue
+                    yield s
 
         def batcher():
             buckets: Dict[tuple, List[dict]] = defaultdict(list)
-            finished_workers = 0
-            while finished_workers < self.num_workers:
-                s = sample_q.get()
-                if s is None:
-                    finished_workers += 1
-                    continue
-                bucket = buckets[s["bucket"]]
+            for s in drained():
+                bucket = buckets[tuple(s["bucket"])]
                 bucket.append(s)
                 if len(bucket) == self.samples_per_batch:
                     out_q.put(self._collate(bucket))
-                    buckets[s["bucket"]] = []
+                    buckets[tuple(s["bucket"])] = []
             if not self.drop_last:
                 for leftover in buckets.values():
                     while leftover:
@@ -112,11 +202,17 @@ class BucketedLoader:
 
         bt = threading.Thread(target=batcher, daemon=True)
         bt.start()
+        complete = False
         try:
             while True:
                 batch = out_q.get()
                 if batch is None:
+                    complete = True
                     return
                 yield batch
         finally:
             stop.set()
+            if self.num_procs > 0 and not complete:
+                # abandoned mid-epoch: the persistent pool's queues still
+                # hold this epoch's replies — reset rather than desync
+                self.close()
