@@ -125,11 +125,10 @@ def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
     base = zero_q(shapes)
     print(f"qlora base ({quantize_base}): {quantized_bytes(base)/2**30:.2f} GiB")
     lora = {
-        g: {name: {"a": jnp.zeros(shapes[g][name]["w"].shape[:-1] + (rank,),
-                                  jnp.float32),
-                   "b": jnp.zeros(shapes[g][name]["w"].shape[:-2]
-                                  + (rank, shapes[g][name]["w"].shape[-1]),
-                                  jnp.float32)}
+        g: {name: (lambda w: {"a": jnp.zeros(w.shape[:-1] + (rank,), jnp.float32),
+                              "b": jnp.zeros(w.shape[:-2] + (rank, w.shape[-1]),
+                                             jnp.float32)})(
+                TR.lora_target_leaf(shapes[g], name)["w"])
             for name in names}
         for g, names in (("double", TR.LORA_TARGETS_DOUBLE),
                          ("single", TR.LORA_TARGETS_SINGLE))

@@ -110,3 +110,53 @@ def test_sharded_checkpoint_loading(tmp_path):
     assert leaf.sharding.spec == PT.flux_param_specs(FLUX_TINY)["double"]["img_qkv"]["w"]
     np.testing.assert_allclose(np.asarray(leaf),
                                np.asarray(plain["double"]["img_qkv"]["w"]), atol=1e-6)
+
+
+def test_lora_import_roundtrip_matches_delta(rng):
+    """export_lora_state_dict -> import_lora_factors must reproduce the same
+    inserted delta: fused targets come back at rank sum(r_m) with block-diag
+    B (independent per-module factors in the sd), and every target — incl.
+    the double-block FFs, the reference's ff/ff_context classes — survives."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from textflux_tpu.io.lora import import_lora_factors
+    from textflux_tpu.training.train import (
+        LORA_TARGETS_DOUBLE,
+        LORA_TARGETS_SINGLE,
+        lora_init,
+        lora_merge,
+        lora_target_leaf,
+    )
+    from helpers import FLUX_TINY
+    from textflux_tpu.models.transformer import init_flux_params
+
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    rank, alpha = 3, 3.0
+    lora = lora_init(jax.random.PRNGKey(4), params, FLUX_TINY, rank)
+    # non-zero B so deltas are non-trivial
+    lora = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.PRNGKey(7), x.shape), lora)
+    scale = alpha / rank
+
+    sd = export_lora_state_dict(lora, FLUX_TINY, alpha)
+    imported = import_lora_factors(sd, FLUX_TINY, scale)
+
+    assert set(imported["double"]) == set(LORA_TARGETS_DOUBLE)
+    assert set(imported["single"]) == set(LORA_TARGETS_SINGLE)
+    # fused qkv: 3 modules x rank -> 3*rank; linear1: 4 modules
+    assert imported["double"]["img_qkv"]["a"].shape[-1] == 3 * rank
+    assert imported["single"]["linear1"]["a"].shape[-1] == 4 * rank
+    assert imported["double"]["img_mlp.fc1"]["a"].shape[-1] == rank
+
+    imp_tree = jax.tree.map(jnp.asarray, imported)
+    merged_ref = lora_merge(params, lora, scale)
+    merged_imp = lora_merge(params, imp_tree, scale)
+    for group, names in (("double", LORA_TARGETS_DOUBLE),
+                         ("single", LORA_TARGETS_SINGLE)):
+        for name in names:
+            w_ref = lora_target_leaf(merged_ref[group], name)["w"]
+            w_imp = lora_target_leaf(merged_imp[group], name)["w"]
+            np.testing.assert_allclose(np.asarray(w_imp), np.asarray(w_ref),
+                                       atol=1e-5, err_msg=f"{group}.{name}")

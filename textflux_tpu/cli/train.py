@@ -48,6 +48,23 @@ def parse_args(argv=None):
                         "step fits a single 16GB chip (QLoRA-equivalent); the "
                         "LoRA branch itself trains in fp32")
     p.add_argument("--learning-rate", type=float, default=2e-5)
+    p.add_argument("--adam-beta1", type=float, default=0.9)
+    p.add_argument("--adam-beta2", type=float, default=0.999)
+    p.add_argument("--adam-epsilon", type=float, default=1e-8)
+    p.add_argument("--adam-weight-decay", type=float, default=1e-2)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--logit-mean", type=float, default=0.0,
+                   help="timestep-density sampling (weighting-scheme "
+                        "logit_normal)")
+    p.add_argument("--logit-std", type=float, default=1.0)
+    p.add_argument("--mode-scale", type=float, default=1.29)
+    p.add_argument("--font-path", default=None,
+                   help="glyph font for the AnyWord dataset (default: "
+                        "bundled/DejaVu fallback)")
+    p.add_argument("--pretrained-lora", default=None,
+                   help="warm-start LoRA training from an existing "
+                        "pytorch_lora_weights.safetensors (reference "
+                        "train_lora.py:536-553)")
     p.add_argument("--optimizer", choices=["adamw", "adamw8bit", "prodigy"],
                    default="adamw")
     p.add_argument("--use-8bit-adam", action="store_true",
@@ -100,7 +117,7 @@ def build_dataset(args):
     if args.data_json:
         return AnyWordSingleLineDataset(
             [(args.data_json, args.data_images)], resolutions=resolutions,
-            seed=args.seed, bucket_quant=quant)
+            seed=args.seed, bucket_quant=quant, font_path=args.font_path)
     if args.multi_dataset:
         return UnionDataset(args.data_dir, img_size=resolutions,
                             caption_type=args.caption_type, seed=args.seed,
@@ -160,8 +177,16 @@ def main(argv=None):
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
+        adam_b1=args.adam_beta1,
+        adam_b2=args.adam_beta2,
+        adam_eps=args.adam_epsilon,
+        weight_decay=args.adam_weight_decay,
+        max_grad_norm=args.max_grad_norm,
         guidance_scale=args.guidance_scale,
         weighting_scheme=args.weighting_scheme,
+        logit_mean=args.logit_mean,
+        logit_std=args.logit_std,
+        mode_scale=args.mode_scale,
         grad_accum=args.grad_accum,
         mode=args.mode,
         lora_rank=args.lora_rank,
@@ -211,6 +236,23 @@ def main(argv=None):
 
         if args.mode == "lora":
             lora = TR.lora_init(jax.random.PRNGKey(args.seed), params, flux_cfg, tc.lora_rank)
+            if args.pretrained_lora:
+                # warm start (reference train_lora.py:536-553): imported
+                # targets replace their fresh init; fused targets come back
+                # at rank sum(r_m) — lora_insert handles per-target ranks
+                from textflux_tpu.io.lora import import_lora_factors
+                from textflux_tpu.io.params import load_safetensors_dir
+
+                imported = import_lora_factors(
+                    load_safetensors_dir(args.pretrained_lora), flux_cfg,
+                    tc.lora_alpha / tc.lora_rank)
+                n = 0
+                for group, tree in imported.items():
+                    for name, f in tree.items():
+                        lora[group][name] = {
+                            "a": jnp.asarray(f["a"]), "b": jnp.asarray(f["b"])}
+                        n += 1
+                print(f"warm-started {n} LoRA targets from {args.pretrained_lora}")
             tx = TR.make_optimizer(tc)
             opt_state = tx.init(lora)
             # donate the lora/opt_state buffers (reassigned every step)

@@ -109,6 +109,10 @@ def export_lora_state_dict(lora, cfg, alpha: float) -> Dict[str, np.ndarray]:
         "txt_qkv": [("attn.add_q_proj", d), ("attn.add_k_proj", d), ("attn.add_v_proj", d)],
         "img_proj": [("attn.to_out.0", d)],
         "txt_proj": [("attn.to_add_out", d)],
+        "img_mlp.fc1": [("ff.net.0.proj", m)],
+        "img_mlp.fc2": [("ff.net.2", d)],
+        "txt_mlp.fc1": [("ff_context.net.0.proj", m)],
+        "txt_mlp.fc2": [("ff_context.net.2", d)],
     }
     name_map_single = {
         "linear1": [("attn.to_q", d), ("attn.to_k", d), ("attn.to_v", d), ("proj_mlp", m)],

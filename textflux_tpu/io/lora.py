@@ -73,3 +73,95 @@ def load_folded_flux_transformer(
     lora_sd = load_safetensors_dir(lora_path)
     folded = fold_lora_into_state_dict(sd, lora_sd, scale=scale)
     return to_device_params(convert_flux_state_dict(folded, cfg), dtype=dtype)
+
+
+# training warm-start: torch LoRA sd -> factor tree ---------------------------
+
+# target -> reference sub-modules, in fused column order (matches
+# io/export.export_lora_state_dict's name maps)
+_IMPORT_MAP_DOUBLE = {
+    "img_qkv": ("attn.to_q", "attn.to_k", "attn.to_v"),
+    "txt_qkv": ("attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj"),
+    "img_proj": ("attn.to_out.0",),
+    "txt_proj": ("attn.to_add_out",),
+    "img_mlp.fc1": ("ff.net.0.proj",),
+    "img_mlp.fc2": ("ff.net.2",),
+    "txt_mlp.fc1": ("ff_context.net.0.proj",),
+    "txt_mlp.fc2": ("ff_context.net.2",),
+}
+_IMPORT_MAP_SINGLE = {
+    "linear1": ("attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp"),
+    "linear2": ("proj_out",),
+}
+
+
+def import_lora_factors(
+    lora_sd: Dict[str, np.ndarray],
+    cfg: FluxConfig,
+    lora_scale: float,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """diffusers/peft LoRA state dict -> training factor tree (warm start,
+    reference train_lora.py:536-553).
+
+    Sub-modules of a fused projection (qkv, single linear1) carry INDEPENDENT
+    (A, B) pairs in the sd; the exact fused equivalent concatenates the A's
+    along the rank axis and places the B's block-diagonally — rank sum(r_m)
+    on fused targets (training.lora_insert handles per-target ranks). Each
+    module's own alpha_m/r_m, divided by the train step's global
+    ``lora_scale`` (alpha/rank), is folded into A so the inserted delta
+    reproduces the sd's exactly. Targets absent from the sd are omitted
+    (caller keeps its fresh init for them).
+    """
+    def build(prefix: str, n_layers: int, name_map):
+        out = {}
+        for target, mods in name_map.items():
+            per_layer = []
+            for i in range(n_layers):
+                a_parts, b_specs, d_outs = [], [], []
+                for mod in mods:
+                    key = f"{prefix}.{i}.{mod}"
+                    for p in (f"transformer.{key}", key):
+                        if f"{p}.lora_A.weight" in lora_sd:
+                            a = np.asarray(lora_sd[f"{p}.lora_A.weight"], np.float32)
+                            b = np.asarray(lora_sd[f"{p}.lora_B.weight"], np.float32)
+                            r = a.shape[0]
+                            alpha = float(np.asarray(lora_sd.get(f"{p}.alpha", r)))
+                            a_parts.append(a.T * ((alpha / r) / lora_scale))
+                            b_specs.append(b.T)           # (r, out_m)
+                            d_outs.append(b.shape[0])
+                            break
+                    else:
+                        a_parts.append(None)
+                        b_specs.append(None)
+                        d_outs.append(None)
+                if all(x is None for x in a_parts):
+                    per_layer = None
+                    break                                  # target not in sd
+                if any(x is None for x in a_parts):
+                    raise ValueError(
+                        f"LoRA sd covers only some sub-modules of fused "
+                        f"target {target} (layer {i}): {mods}")
+                a_cat = np.concatenate(a_parts, axis=1)    # (in, R)
+                big_r = a_cat.shape[1]
+                b_cat = np.zeros((big_r, sum(d_outs)), np.float32)
+                r_off = col = 0
+                for bs, dout in zip(b_specs, d_outs):
+                    b_cat[r_off:r_off + bs.shape[0], col:col + dout] = bs
+                    r_off += bs.shape[0]
+                    col += dout
+                per_layer.append((a_cat, b_cat))
+            if per_layer is None:
+                continue
+            ranks = {a.shape[1] for a, _ in per_layer}
+            if len(ranks) != 1:
+                raise ValueError(f"rank differs across layers for {target}: {ranks}")
+            out[target] = {"a": np.stack([a for a, _ in per_layer]),
+                           "b": np.stack([b for _, b in per_layer])}
+        return out
+
+    return {
+        "double": build("transformer_blocks", cfg.num_double_layers,
+                        _IMPORT_MAP_DOUBLE),
+        "single": build("single_transformer_blocks", cfg.num_single_layers,
+                        _IMPORT_MAP_SINGLE),
+    }

@@ -112,8 +112,35 @@ def apply_mask(tree, mask):
 # LoRA parameterization (training-time; serving folds via io.lora)
 # ---------------------------------------------------------------------------
 
-LORA_TARGETS_DOUBLE = ("img_qkv", "txt_qkv", "img_proj", "txt_proj")
+# Dotted names address nested leaves (the double-block FF pairs). This is the
+# reference's full 12-module-class target list (train_lora.py:511-524): qkv +
+# out projections of both streams, BOTH streams' FFs (ff.net.0.proj/ff.net.2
+# = fc1/fc2), and on the single side the fused linear1/linear2 (which contain
+# q/k/v + mlp and proj_out).
+LORA_TARGETS_DOUBLE = ("img_qkv", "txt_qkv", "img_proj", "txt_proj",
+                       "img_mlp.fc1", "img_mlp.fc2",
+                       "txt_mlp.fc1", "txt_mlp.fc2")
 LORA_TARGETS_SINGLE = ("linear1", "linear2")
+
+
+def lora_target_leaf(group_params, name: str):
+    """Resolve a (possibly dotted) LoRA target name to its dense leaf."""
+    node = group_params
+    for part in name.split("."):
+        node = node[part]
+    return node
+
+
+def _lora_set_leaf(out_group, src_group, name: str, leaf):
+    """Immutably set a (possibly dotted, one level deep) target leaf."""
+    parts = name.split(".")
+    if len(parts) == 1:
+        out_group[name] = leaf
+        return
+    sub = dict(out_group[parts[0]]) if parts[0] in out_group \
+        else dict(src_group[parts[0]])
+    sub[parts[1]] = leaf
+    out_group[parts[0]] = sub
 
 
 def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
@@ -130,9 +157,11 @@ def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
     ki = iter(keys)
     tree = {"double": {}, "single": {}}
     for name in LORA_TARGETS_DOUBLE:
-        tree["double"][name] = factors(next(ki), params["double"][name]["w"])
+        tree["double"][name] = factors(
+            next(ki), lora_target_leaf(params["double"], name)["w"])
     for name in LORA_TARGETS_SINGLE:
-        tree["single"][name] = factors(next(ki), params["single"][name]["w"])
+        tree["single"][name] = factors(
+            next(ki), lora_target_leaf(params["single"], name)["w"])
     return tree
 
 
@@ -145,10 +174,11 @@ def lora_merge(params, lora, scale: float):
     out["single"] = dict(params["single"])
     for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
         for name in names:
-            base = params[group][name]
+            base = lora_target_leaf(params[group], name)
             f = lora[group][name]
             delta = jnp.einsum("lir,lro->lio", f["a"], f["b"]) * scale
-            out[group][name] = dict(base, w=base["w"] + delta.astype(base["w"].dtype))
+            _lora_set_leaf(out[group], params[group], name,
+                           dict(base, w=base["w"] + delta.astype(base["w"].dtype)))
     return out
 
 
@@ -179,10 +209,11 @@ def lora_insert(params, lora, scale: float):
     out["single"] = dict(params["single"])
     for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
         for name in names:
-            base = params[group][name]
+            base = lora_target_leaf(params[group], name)
             check(base)
             f = lora[group][name]
-            out[group][name] = dict(base, lora_a=f["a"] * scale, lora_b=f["b"])
+            _lora_set_leaf(out[group], params[group], name,
+                           dict(base, lora_a=f["a"] * scale, lora_b=f["b"]))
     return out
 
 
