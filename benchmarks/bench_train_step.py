@@ -81,7 +81,7 @@ def bench(nd, ns):
     return t
 
 def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
-                           nd=19, ns=38):
+                           nd=19, ns=38, double_quant=False):
     """MEASURED full-depth 19+38 LoRA train step on one chip: the frozen base
     is serve-quantized (NF4 = 6.24 GiB / int8 = 11.1 GiB vs 22.2 bf16), the
     rank-128 LoRA factors train in fp32 via the parallel-branch formulation
@@ -107,8 +107,17 @@ def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
                 din, dout = v["w"].shape[-2], v["w"].shape[-1]
                 lead = v["w"].shape[:-2]
                 if quantize_base == "nf4" and din % 128 == 0:
-                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8),
-                         "absmax4": jnp.full((*lead, din // 64, dout), 1e-2, jnp.float32)}
+                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8)}
+                    if double_quant:
+                        # bnb-style double-quantized absmax (io/quantize.py):
+                        # ~0.5 GiB back on the 12B base — the margin that
+                        # fits the 8704-token multi-line canvas in 16 GiB
+                        q["absmax8"] = jnp.zeros((*lead, din // 64, dout), jnp.uint8)
+                        q["amax_lo"] = jnp.full((*lead, dout), 1e-3, jnp.float32)
+                        q["amax_hi"] = jnp.full((*lead, dout), 2e-2, jnp.float32)
+                    else:
+                        q["absmax4"] = jnp.full((*lead, din // 64, dout), 1e-2,
+                                                jnp.float32)
                 else:
                     key = "w_q"
                     q = {key: jnp.zeros(v["w"].shape, jnp.int8),
@@ -171,14 +180,24 @@ if __name__ == "__main__":
     if "--qlora" in sys.argv:
         mode = "weight_only" if "--int8" in sys.argv else "nf4"
         bench_qlora_full_depth(quantize_base=mode,
-                               use_8bit_adam="--fp32-adam" not in sys.argv)
+                               use_8bit_adam="--fp32-adam" not in sys.argv,
+                               double_quant="--dq" in sys.argv)
         sys.exit(0)
-    depths = [(2, 4), (4, 4), (2, 8)]
+    # Least-squares over 5 depths (up to 16 blocks), NOT an exact 3x3 solve:
+    # the exact solve pushes per-run tunnel noise straight into the
+    # coefficients and amplifies ~10x at 57 blocks (round-3 repeat runs of
+    # the 3-point version projected 683 and 1182 ms from the same code).
+    # Deeper points shrink the extrapolation factor; residuals are printed so
+    # a noisy run is visible instead of silently wrong.
+    depths = [(2, 4), (4, 4), (2, 8), (4, 8), (2, 12)]
     times = [bench(nd, ns) for nd, ns in depths]
     A = np.array([[1, nd, ns] for nd, ns in depths], float)
-    c, td, ts = np.linalg.solve(A, np.array(times))
+    (c, td, ts), res, _, _ = np.linalg.lstsq(A, np.array(times), rcond=None)
+    fit = A @ np.array([c, td, ts])
     full = c + 19 * td + 38 * ts
     print(f"intercept (VAE+packing+opt) = {c*1000:.1f} ms, per-double = {td*1000:.1f} ms, "
           f"per-single = {ts*1000:.1f} ms")
+    print("fit residuals (ms):",
+          " ".join(f"{(m - f)*1000:+.1f}" for m, f in zip(times, fit)))
     print(f"projected full 19+38 train step (B=1, 1696 tokens, attn-only, remat): "
           f"{full*1000:.0f} ms -> {1/full:.2f} steps/s")

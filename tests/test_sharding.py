@@ -53,8 +53,10 @@ def test_sharded_forward_matches_single_device(rng):
 
 
 def test_sharded_train_step_matches_single_device(rng):
+    # f32 compute: asserts sharded==unsharded MATH; bf16 (the training
+    # default) makes cross-device reduction order visible at its rounding
     tc = TR.TrainConfig(grad_accum=2, excluded_single_layers=(), learning_rate=1e-3,
-                        weighting_scheme="none")
+                        weighting_scheme="none", compute_dtype="float32")
     params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
     vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
     mask = TR.attn_only_mask(params, FLUX_TINY, tc)

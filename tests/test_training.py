@@ -176,7 +176,10 @@ def test_lora_insert_matches_merge_gradients(rng):
     association order (fp32 tolerance)."""
     params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
     vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
-    tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=8.0)
+    # f32 compute: this asserts merge==insert MATH; bf16 (the training
+    # default) reassociates the two formulations' roundings apart
+    tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=8.0,
+                        compute_dtype="float32")
     lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, tc.lora_rank)
     # non-zero B so both branches actually contribute
     lora = jax.tree.map(

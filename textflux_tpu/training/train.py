@@ -59,6 +59,10 @@ class TrainConfig:
     # reference quirk: single blocks 11, 12 are excluded from the unfreeze list
     # (scripts/train.py:520-585)
     excluded_single_layers: Tuple[int, ...] = (11, 12)
+    # model compute dtype (the reference's accelerate bf16 autocast); fp32
+    # master params/optimizer state are unaffected — dense casts weights to
+    # the activation dtype per-matmul (fused into the matmul by XLA)
+    compute_dtype: str = "bfloat16"
 
 
 # ---------------------------------------------------------------------------
@@ -285,15 +289,26 @@ def flow_matching_loss(
     """One microbatch loss. batch: pixel_values (B,H,W,3) in [-1,1],
     mask (B,H,W) in {0,1}, txt (B,L,joint), pooled (B,pooled)."""
     pixels, mask = batch["pixel_values"], batch["mask"]
-    txt, pooled = batch["txt"], batch["pooled"]
+    # compute dtype: the reference trains under bf16 autocast (frozen parts
+    # bf16, fp32 trainables/optimizer). Without this cast the f32 batch
+    # embeddings PROMOTE the whole joint stream to f32 (layers.dense casts
+    # weights to x.dtype), silently running every matmul and attention call
+    # at f32 — measured: the full-depth QLoRA step dropped 1165 -> 1085 ms
+    # when fixed (NF4 dequant, not matmul dtype, dominates that step), and
+    # f32 K/V blew the flash kernel's VMEM envelope at 8704 tokens (the
+    # multi-line canvas could not train at all before this cast).
+    # Norms/softmax stay fp32 inside the model; the loss is f32 below.
+    cdt = jnp.dtype(tc.compute_dtype)
+    txt = batch["txt"].astype(cdt)
+    pooled = batch["pooled"].astype(cdt)
     b = pixels.shape[0]
     k_vae, k_cond, k_t, k_noise = jax.random.split(key, 4)
 
     # target latents + conditioning (both VAE passes sample the posterior,
     # matching encode_images_to_latents / prepare_fill_with_mask)
-    x = vae_encode(vae_params, vae_cfg, pixels, key=k_vae)
+    x = vae_encode(vae_params, vae_cfg, pixels, key=k_vae).astype(cdt)
     masked = pixels * (1.0 - mask[..., None])
-    z_cond = vae_encode(vae_params, vae_cfg, masked, key=k_cond)
+    z_cond = vae_encode(vae_params, vae_cfg, masked, key=k_cond).astype(cdt)
     cond = jnp.concatenate(
         [packing.pack_latents(z_cond),
          packing.pack_mask(mask.astype(z_cond.dtype), vae_cfg.spatial_factor)],
