@@ -290,3 +290,44 @@ def test_qlora_converges_on_fixed_batch(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert min(losses[-5:]) < 0.8 * losses[0], losses[::8]
+
+
+def test_loss_runs_in_bf16_compute(rng):
+    """Lock the bf16 autocast: with the default TrainConfig, no transformer
+    matmul in the traced loss may run with f32 x f32 operands (the round-3
+    regression: f32 batch embeddings promoted the whole joint stream to f32,
+    which cost ~7% step time and blew the flash kernel's VMEM envelope at
+    8704 tokens). VAE params are cast to bf16 as the real trainer does, so
+    any surviving f32 dot_general is a promotion bug."""
+    tc = TR.TrainConfig(grad_accum=1)  # default compute_dtype=bfloat16
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        init_flux_params(jax.random.PRNGKey(0), FLUX_TINY))
+    vae_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY))
+    batch = jax.tree.map(lambda x: x[0], _batch(rng, accum=1))  # one microbatch
+
+    jaxpr = jax.make_jaxpr(
+        lambda p, vp, b, k: TR.flow_matching_loss(
+            p, FLUX_TINY, vp, VAE_TINY, tc, b, k, attn_impl="xla")
+    )(params, vae_params, batch, jax.random.PRNGKey(2))
+
+    f32_dots = []
+
+    def walk(jp):
+        for eqn in jp.eqns:
+            if eqn.primitive.name == "dot_general":
+                lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+                if lhs.dtype == jnp.float32 and rhs.dtype == jnp.float32:
+                    f32_dots.append((lhs.shape, rhs.shape))
+            for v in eqn.params.values():
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                for item in vals:
+                    if hasattr(item, "jaxpr"):  # ClosedJaxpr (pjit/remat/scan)
+                        walk(item.jaxpr)
+                    elif hasattr(item, "eqns"):  # raw Jaxpr
+                        walk(item)
+
+    walk(jaxpr.jaxpr)
+    assert not f32_dots, f"f32 matmuls leaked into the bf16 loss: {f32_dots}"

@@ -301,13 +301,17 @@ def flow_matching_loss(
     cdt = jnp.dtype(tc.compute_dtype)
     txt = batch["txt"].astype(cdt)
     pooled = batch["pooled"].astype(cdt)
+    # the VAE runs in the compute dtype as well (the reference's VAE sits
+    # under the same autocast); f32 pixels would otherwise promote both
+    # encode passes — convs, norms and the mid-block attention — to f32
+    pixels = pixels.astype(cdt)
     b = pixels.shape[0]
     k_vae, k_cond, k_t, k_noise = jax.random.split(key, 4)
 
     # target latents + conditioning (both VAE passes sample the posterior,
     # matching encode_images_to_latents / prepare_fill_with_mask)
     x = vae_encode(vae_params, vae_cfg, pixels, key=k_vae).astype(cdt)
-    masked = pixels * (1.0 - mask[..., None])
+    masked = pixels * (1.0 - mask[..., None]).astype(cdt)
     z_cond = vae_encode(vae_params, vae_cfg, masked, key=k_cond).astype(cdt)
     cond = jnp.concatenate(
         [packing.pack_latents(z_cond),
