@@ -19,6 +19,9 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...breakdown}.
 import gc
 import json
 import os
+import subprocess
+import sys
+import time
 
 import numpy as np
 
@@ -373,6 +376,7 @@ def main():
         except Exception as e:
             extra["xl_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    print("bench sections done", file=sys.stderr, flush=True)
     flops = step_flops(FluxConfig(), t_img, T_TXT)
     tflops = flops / t_step / 1e12
     # v5e peaks: 197 TFLOP/s bf16, 394 TOPS int8 (attention stays bf16, so
@@ -402,5 +406,43 @@ def main():
     print(json.dumps(result))
 
 
+def supervised():
+    """Run main() in a watchdogged subprocess with retries.
+
+    The tunneled backend's remote-compile service occasionally wedges: a
+    compile request blocks forever at ~0 CPU inside a C call no Python
+    watchdog thread can interrupt (see CLAUDE.md). The documented fix is
+    kill-and-rerun — the retry hits the compile caches and the same program
+    then compiles normally. Without this wrapper a single wedge mid-bench
+    loses the whole benchmark artifact; with it the cost is one attempt's
+    timeout. The child's stdout (the one JSON line) passes through verbatim."""
+    budget = int(os.environ.get("TEXTFLUX_BENCH_ATTEMPT_S", "1500"))
+    attempts = int(os.environ.get("TEXTFLUX_BENCH_ATTEMPTS", "3"))
+    env = dict(os.environ, TEXTFLUX_BENCH_INNER="1")
+    for i in range(attempts):
+        t0 = time.time()
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env)
+        try:
+            rc = proc.wait(timeout=budget)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print(f"bench attempt {i + 1}/{attempts} hung past {budget}s "
+                  f"(wedged remote compile?) -- retrying with warm caches",
+                  file=sys.stderr, flush=True)
+            continue
+        if rc == 0:
+            return 0
+        print(f"bench attempt {i + 1}/{attempts} exited rc={rc} "
+              f"after {time.time() - t0:.0f}s -- retrying",
+              file=sys.stderr, flush=True)
+    print("bench failed: all attempts timed out or errored", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TEXTFLUX_BENCH_INNER") == "1":
+        main()
+    else:
+        sys.exit(supervised())
