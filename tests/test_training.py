@@ -331,3 +331,67 @@ def test_loss_runs_in_bf16_compute(rng):
 
     walk(jaxpr.jaxpr)
     assert not f32_dots, f"f32 matmuls leaked into the bf16 loss: {f32_dots}"
+
+
+def test_lr_schedule_reference_shapes():
+    """cosine_with_restarts / polynomial match the diffusers get_scheduler
+    semantics the reference delegates to (parser_helper.py --lr_num_cycles /
+    --lr_power)."""
+    tc = TR.TrainConfig(lr_scheduler="cosine_with_restarts", learning_rate=2.0,
+                        max_train_steps=100, lr_warmup_steps=10, lr_num_cycles=2)
+    sched = TR.make_lr_schedule(tc)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(1.0)          # linear warmup
+    assert float(sched(10)) == pytest.approx(2.0)         # cycle start
+    assert float(sched(55)) == pytest.approx(2.0)         # hard restart at mid
+    assert float(sched(32.5)) == pytest.approx(1.0)       # quarter of cycle 1
+    assert float(sched(100)) == 0.0                       # end
+
+    tc = TR.TrainConfig(lr_scheduler="polynomial", learning_rate=2.0,
+                        max_train_steps=100, lr_warmup_steps=0, lr_power=1.0)
+    sched = TR.make_lr_schedule(tc)
+    assert float(sched(0)) == pytest.approx(2.0)
+    assert float(sched(50)) == pytest.approx(1.0, rel=1e-4)  # power=1 = linear
+    assert float(sched(100)) == pytest.approx(1e-7)          # lr_end floor
+
+    tc = TR.TrainConfig(lr_scheduler="polynomial", learning_rate=2.0,
+                        max_train_steps=100, lr_warmup_steps=0, lr_power=2.0)
+    sched = TR.make_lr_schedule(tc)
+    assert float(sched(50)) == pytest.approx(0.5, rel=1e-4)  # (1-p)^2 shape
+
+
+def test_cond_dropout(rng):
+    """--cond-dropout-prob (reference --dropout_prob) perturbs the loss via
+    dropout on the packed conditioning; p=0 is the exact default path."""
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    batch = jax.tree.map(lambda x: x[0], _batch(rng, accum=1))
+    key = jax.random.PRNGKey(3)
+
+    def loss(p):
+        tc = TR.TrainConfig(grad_accum=1, cond_dropout_prob=p)
+        return float(TR.flow_matching_loss(params, FLUX_TINY, vae_params,
+                                           VAE_TINY, tc, batch, key,
+                                           attn_impl="xla"))
+
+    base, base2, dropped = loss(0.0), loss(0.0), loss(0.5)
+    assert base == base2                      # deterministic under a fixed key
+    assert np.isfinite(dropped)
+    assert dropped != base                    # the conditioning actually moved
+
+
+def test_prodigy_state_safe_to_donate():
+    """optax prodigy's init stores p0 by reference; the trainer donates params
+    AND opt_state to one jitted step, which aborts on aliased buffers. The
+    make_optimizer wrapper must return an unaliased state (found by a real
+    --optimizer prodigy CLI crash)."""
+    tc = TR.TrainConfig(optimizer="prodigy", learning_rate=1.0)
+    tx = TR.make_optimizer(tc)
+    p = {"w": jnp.ones((8, 8))}
+    st = tx.init(p)
+    ptr = p["w"].unsafe_buffer_pointer()
+    shared = [l for l in jax.tree.leaves(st)
+              if hasattr(l, "unsafe_buffer_pointer")
+              and l.shape == p["w"].shape
+              and l.unsafe_buffer_pointer() == ptr]
+    assert not shared

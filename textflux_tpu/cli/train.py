@@ -69,9 +69,24 @@ def parse_args(argv=None):
                    default="adamw")
     p.add_argument("--use-8bit-adam", action="store_true",
                    help="int8 blockwise Adam moments (reference --use_8bit_adam)")
-    p.add_argument("--lr-scheduler", choices=["constant", "cosine", "linear"],
-                   default="constant")
+    p.add_argument("--prodigy-beta3", type=float, default=None,
+                   help="prodigy D-estimate momentum (default sqrt(beta2), "
+                        "reference --prodigy_beta3)")
+    p.add_argument("--prodigy-safeguard-warmup", action="store_true",
+                   help="remove lr from the prodigy D-estimate denominator "
+                        "during warmup (reference --prodigy_safeguard_warmup)")
+    p.add_argument("--lr-scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "cosine",
+                            "cosine_with_restarts", "linear", "polynomial"])
     p.add_argument("--lr-warmup-steps", type=int, default=0)
+    p.add_argument("--lr-num-cycles", type=int, default=1,
+                   help="hard restarts in cosine_with_restarts")
+    p.add_argument("--lr-power", type=float, default=1.0,
+                   help="polynomial schedule exponent")
+    p.add_argument("--scale-lr", action="store_true",
+                   help="multiply the lr by grad_accum * train_batch_size "
+                        "(reference --scale_lr; the batch here is already "
+                        "global, so no device-count factor)")
     p.add_argument("--train-batch-size", type=int, default=1)
     p.add_argument("--bucket-quant", type=int, default=None,
                    help="short-side snap multiple for resolution buckets "
@@ -85,7 +100,24 @@ def parse_args(argv=None):
     p.add_argument("--grad-accum", type=int, default=8)
     p.add_argument("--guidance-scale", type=float, default=1.0)
     p.add_argument("--weighting-scheme", default="none")
-    p.add_argument("--max-train-steps", type=int, default=10000)
+    p.add_argument("--cond-dropout-prob", type=float, default=0.0,
+                   help="dropout on the packed 320-ch conditioning "
+                        "(reference --dropout_prob)")
+    p.add_argument("--mixed-precision", choices=["bf16", "no"], default="bf16",
+                   help="model compute dtype under the jit 'autocast' "
+                        "(reference --mixed_precision; fp16 is not offered — "
+                        "bf16 is the TPU-native half precision)")
+    p.add_argument("--no-gradient-checkpointing", action="store_true",
+                   help="disable per-block remat (reference trains WITH "
+                        "--gradient_checkpointing; disabling trades memory "
+                        "for speed on small models)")
+    p.add_argument("--max-train-steps", type=int, default=None,
+                   help="total optimizer steps (default: derived from "
+                        "--num-train-epochs like the reference when unset)")
+    p.add_argument("--num-train-epochs", type=int, default=1,
+                   help="used only when --max-train-steps is unset: steps = "
+                        "epochs * ceil(len(dataset) / (batch * accum)) "
+                        "(reference parser_helper.py:228-233)")
     p.add_argument("--checkpointing-steps", type=int, default=5000)
     p.add_argument("--checkpoints-total-limit", type=int, default=3)
     p.add_argument("--resume-from-checkpoint", default=None)
@@ -171,10 +203,26 @@ def main(argv=None):
     clip_cfg = clip_config_from(os.path.join(args.model, "text_encoder"))
     t5_cfg = t5_config_from(os.path.join(args.model, "text_encoder_2"))
 
+    # the dataset is host-side and cheap to index; built before the config so
+    # --num-train-epochs can derive the step budget like the reference
+    # (scripts/train.py:806-834)
+    dataset = build_dataset(args)
+    if args.max_train_steps is None:
+        import math
+
+        steps_per_epoch = math.ceil(
+            len(dataset) / (args.train_batch_size * args.grad_accum))
+        args.max_train_steps = args.num_train_epochs * steps_per_epoch
+        print(f"derived max_train_steps={args.max_train_steps} "
+              f"({args.num_train_epochs} epochs x {steps_per_epoch} steps)")
+    if args.scale_lr:
+        args.learning_rate *= args.grad_accum * args.train_batch_size
+
     tc = TR.TrainConfig(
         learning_rate=args.learning_rate,
         optimizer="adamw8bit" if args.use_8bit_adam else args.optimizer,
-        lr_scheduler=args.lr_scheduler,
+        lr_scheduler=("constant" if args.lr_scheduler == "constant_with_warmup"
+                      else args.lr_scheduler),
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
         adam_b1=args.adam_beta1,
@@ -191,6 +239,13 @@ def main(argv=None):
         mode=args.mode,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        cond_dropout_prob=args.cond_dropout_prob,
+        compute_dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+        remat=not args.no_gradient_checkpointing,
+        prodigy_beta3=args.prodigy_beta3,
+        prodigy_safeguard_warmup=args.prodigy_safeguard_warmup,
+        lr_num_cycles=args.lr_num_cycles,
+        lr_power=args.lr_power,
     )
 
     # mesh
@@ -279,7 +334,6 @@ def main(argv=None):
                 state = restored
                 print(f"resumed from step {state['step']}")
 
-        dataset = build_dataset(args)
         loader = BucketedLoader(
             dataset, batch_size=args.train_batch_size,
             grad_accum=args.grad_accum, seed=args.seed,

@@ -63,6 +63,19 @@ class TrainConfig:
     # master params/optimizer state are unaffected — dense casts weights to
     # the activation dtype per-matmul (fused into the matmul by XLA)
     compute_dtype: str = "bfloat16"
+    # dropout on the 320-ch packed conditioning (reference --dropout_prob,
+    # scripts/train.py:946-948: torch.nn.Dropout on inpaint_cond)
+    cond_dropout_prob: float = 0.0
+    # prodigy knobs (reference parser_helper.py:363-394); optax's prodigy uses
+    # AdamW-style decoupled decay, matching the reference default
+    # --prodigy_decouple True; its D-estimate is not bias-corrected
+    # (--prodigy_use_bias_correction has no optax equivalent)
+    prodigy_beta3: Optional[float] = None
+    prodigy_safeguard_warmup: bool = False
+    # cosine_with_restarts / polynomial schedule shapes (diffusers
+    # get_scheduler semantics; reference --lr_num_cycles / --lr_power)
+    lr_num_cycles: int = 1
+    lr_power: float = 1.0
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +239,29 @@ def lora_insert(params, lora, scale: float):
 # ---------------------------------------------------------------------------
 
 def make_lr_schedule(tc: TrainConfig):
-    """constant / cosine / linear with optional warmup (the reference delegates
-    to diffusers get_scheduler; train.sh uses constant, warmup 0)."""
+    """constant / constant_with_warmup / cosine / cosine_with_restarts /
+    linear / polynomial with optional warmup (the reference delegates to
+    diffusers get_scheduler; train.sh uses constant, warmup 0)."""
+    if tc.lr_scheduler in ("cosine_with_restarts", "polynomial"):
+        # diffusers get_cosine_schedule_with_warmup(num_cycles=...) /
+        # get_polynomial_decay_schedule_with_warmup(power=..., lr_end=1e-7)
+        lr0 = tc.learning_rate
+        total, warm = max(tc.max_train_steps, 1), tc.lr_warmup_steps
+        cycles, power, lr_end = tc.lr_num_cycles, tc.lr_power, 1e-7
+        restarts = tc.lr_scheduler == "cosine_with_restarts"
+
+        def sched(step):
+            s = jnp.asarray(step, jnp.float32)
+            prog = jnp.clip((s - warm) / max(total - warm, 1), 0.0, 1.0)
+            if restarts:
+                main = lr0 * jnp.where(
+                    prog >= 1.0, 0.0,
+                    0.5 * (1.0 + jnp.cos(jnp.pi * ((cycles * prog) % 1.0))))
+            else:
+                main = (lr0 - lr_end) * (1.0 - prog) ** power + lr_end
+            return jnp.where(s < warm, lr0 * s / max(warm, 1), main)
+
+        return sched
     if tc.lr_scheduler == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, tc.learning_rate, max(tc.lr_warmup_steps, 1), tc.max_train_steps)
@@ -252,6 +286,8 @@ def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
     if tc.optimizer == "prodigy":
         inner = optax.contrib.prodigy(
             learning_rate=lr, betas=(tc.adam_b1, tc.adam_b2),
+            beta3=tc.prodigy_beta3, eps=tc.adam_eps,
+            safeguard_warmup=tc.prodigy_safeguard_warmup,
             weight_decay=tc.weight_decay)
     elif tc.optimizer == "adamw8bit":
         # reference default for full-param training: bitsandbytes AdamW8bit
@@ -266,7 +302,16 @@ def make_optimizer(tc: TrainConfig, mask=None) -> optax.GradientTransformation:
     if mask is not None:
         leaf_mask = jax.tree.map(lambda m: bool(np_any_trainable(m)), mask)
         inner = optax.masked(inner, leaf_mask)
-    return optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), inner)
+    tx = optax.chain(optax.clip_by_global_norm(tc.max_grad_norm), inner)
+    if tc.optimizer == "prodigy":
+        # optax prodigy's init() stores p0 (the initial params) BY REFERENCE,
+        # so opt_state aliases the params buffers; a train step jitted with
+        # donate_argnums over both then aborts with "Attempt to donate the
+        # same buffer twice". Copy at init to break the aliasing.
+        init = tx.init
+        tx = tx._replace(
+            init=lambda params: jax.tree.map(jnp.copy, init(params)))
+    return tx
 
 
 def np_any_trainable(m) -> bool:
@@ -306,7 +351,7 @@ def flow_matching_loss(
     # encode passes — convs, norms and the mid-block attention — to f32
     pixels = pixels.astype(cdt)
     b = pixels.shape[0]
-    k_vae, k_cond, k_t, k_noise = jax.random.split(key, 4)
+    k_vae, k_cond, k_t, k_noise, k_drop = jax.random.split(key, 5)
 
     # target latents + conditioning (both VAE passes sample the posterior,
     # matching encode_images_to_latents / prepare_fill_with_mask)
@@ -318,6 +363,13 @@ def flow_matching_loss(
          packing.pack_mask(mask.astype(z_cond.dtype), vae_cfg.spatial_factor)],
         axis=-1,
     )
+    if tc.cond_dropout_prob > 0:
+        # reference --dropout_prob: torch.nn.Dropout on the packed inpaint
+        # conditioning (scripts/train.py:946-948) — elementwise zero with
+        # prob p, survivors scaled by 1/(1-p)
+        keep = jax.random.bernoulli(k_drop, 1.0 - tc.cond_dropout_prob,
+                                    cond.shape)
+        cond = cond * keep.astype(cond.dtype) / (1.0 - tc.cond_dropout_prob)
 
     u = samplers.sample_timestep_density(
         k_t, b, tc.weighting_scheme, tc.logit_mean, tc.logit_std, tc.mode_scale)
