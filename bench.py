@@ -51,34 +51,11 @@ def zeros_like_tree(tree_shape):
 
 
 def _zero_params(cfg, quantize):
-    """Timing-equivalent zero weights: bf16 (quantize=False), weight-only int8
-    ("weight_only") or int8-activation ("w8a8") layouts."""
-    import jax
-    import jax.numpy as jnp
+    """Timing-equivalent zero weights in the requested layout (shared,
+    layout-tested builder — see benchmarks/zeroparams.py)."""
+    from benchmarks.zeroparams import zero_flux_params
 
-    from textflux_tpu.models.transformer import init_flux_params
-
-    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-    qkey = {"weight_only": "w_q", "w8a8": "w_q8a8", True: "w_q"}.get(quantize)
-
-    def build(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 \
-                    and (qkey and v["w"].size >= (1 << 16)):
-                q = {qkey: jnp.zeros(v["w"].shape, jnp.int8),
-                     "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],),
-                                       1e-2, jnp.float32)}
-                if "b" in v:
-                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
-                out[k] = q
-            elif isinstance(v, dict):
-                out[k] = build(v)
-            else:
-                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
-        return out
-
-    return build(shapes)
+    return zero_flux_params(cfg, quantize)
 
 
 def step_flops(cfg, t_img: int, t_txt: int) -> float:

@@ -31,28 +31,9 @@ ND, NS = 4, 8
 cfg = FluxConfig(num_double_layers=ND, num_single_layers=NS)
 
 
-def zero_params():
-    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
+from zeroparams import zero_flux_params  # shared, layout-tested builder
 
-    def build(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16):
-                q = {"w_q8a8": jnp.zeros(v["w"].shape, jnp.int8),
-                     "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
-                if "b" in v:
-                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
-                out[k] = q
-            elif isinstance(v, dict):
-                out[k] = build(v)
-            else:
-                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
-        return out
-
-    return build(shapes)
-
-
-params = zero_params()
+params = zero_flux_params(cfg, "w8a8")
 cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
 txt = jnp.zeros((1, T_TXT, cfg.joint_dim), jnp.bfloat16)
 pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)

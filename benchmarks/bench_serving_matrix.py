@@ -18,40 +18,7 @@ from textflux_tpu.utils.benchmarking import time_step
 
 print("backend:", jax.default_backend())
 
-def zero_params(cfg, mode):
-    from textflux_tpu.models.transformer import init_flux_params
-
-    from textflux_tpu.io.quantize import MIXED_INT8_NAMES
-
-    shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-    def build(tree, path=()):
-        out = {}
-        for k, v in tree.items():
-            p = path + (k,)
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 and v["w"].size >= (1 << 16):
-                leaf_mode = mode
-                if mode == "mixed":
-                    leaf_mode = ("weight_only"
-                                 if any(n in p for n in MIXED_INT8_NAMES) else "nf4")
-                if leaf_mode == "nf4" and v["w"].shape[-2] % 128 != 0:
-                    leaf_mode = "weight_only"
-                if leaf_mode == "nf4":
-                    *lead, din, dout = v["w"].shape
-                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8),
-                         "absmax4": jnp.full((*lead, din // 64, dout), 1e-2, jnp.float32)}
-                else:
-                    key = "w_q8a8" if leaf_mode == "w8a8" else "w_q"
-                    q = {key: jnp.zeros(v["w"].shape, jnp.int8),
-                         "scale": jnp.full(v["w"].shape[:-2] + (v["w"].shape[-1],), 1e-2, jnp.float32)}
-                if "b" in v:
-                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
-                out[k] = q
-            elif isinstance(v, dict):
-                out[k] = build(v, p)
-            else:
-                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
-        return out
-    return build(shapes)
+from zeroparams import zero_flux_params as zero_params  # shared, layout-tested
 
 HEIGHT, WIDTH, T_TXT = 592, 512, 512
 lat_h, lat_w = HEIGHT // 8, WIDTH // 8

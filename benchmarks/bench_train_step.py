@@ -96,42 +96,13 @@ def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
 
     # timing-equivalent zero base straight in the quantized layout (a real
     # checkpoint would be quantized from bf16 on load; values don't affect
-    # step time)
+    # step time); double_quant = bnb-style absmax codes (io/quantize.py):
+    # ~0.5 GiB back on the 12B base — the margin that fits the 8704-token
+    # multi-line canvas in 16 GiB
+    from zeroparams import zero_flux_params
+
     shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
-
-    def zero_q(tree):
-        out = {}
-        for k, v in tree.items():
-            if isinstance(v, dict) and "w" in v and v["w"].ndim >= 2 \
-                    and v["w"].size >= (1 << 16):
-                din, dout = v["w"].shape[-2], v["w"].shape[-1]
-                lead = v["w"].shape[:-2]
-                if quantize_base == "nf4" and din % 128 == 0:
-                    q = {"w_nf4": jnp.zeros((*lead, din // 2, dout), jnp.uint8)}
-                    if double_quant:
-                        # bnb-style double-quantized absmax (io/quantize.py):
-                        # ~0.5 GiB back on the 12B base — the margin that
-                        # fits the 8704-token multi-line canvas in 16 GiB
-                        q["absmax8"] = jnp.zeros((*lead, din // 64, dout), jnp.uint8)
-                        q["amax_lo"] = jnp.full((*lead, dout), 1e-3, jnp.float32)
-                        q["amax_hi"] = jnp.full((*lead, dout), 2e-2, jnp.float32)
-                    else:
-                        q["absmax4"] = jnp.full((*lead, din // 64, dout), 1e-2,
-                                                jnp.float32)
-                else:
-                    key = "w_q"
-                    q = {key: jnp.zeros(v["w"].shape, jnp.int8),
-                         "scale": jnp.full((*lead, dout), 1e-2, jnp.float32)}
-                if "b" in v:
-                    q["b"] = jnp.zeros(v["b"].shape, jnp.bfloat16)
-                out[k] = q
-            elif isinstance(v, dict):
-                out[k] = zero_q(v)
-            else:
-                out[k] = jnp.zeros(v.shape, jnp.bfloat16 if v.ndim >= 2 else v.dtype)
-        return out
-
-    base = zero_q(shapes)
+    base = zero_flux_params(cfg, quantize_base, double_quant=double_quant)
     print(f"qlora base ({quantize_base}): {quantized_bytes(base)/2**30:.2f} GiB")
     lora = {
         g: {name: (lambda w: {"a": jnp.zeros(w.shape[:-1] + (rank,), jnp.float32),

@@ -186,3 +186,47 @@ def test_bucketed_loader_process_mode(tmp_path, rng):
     finally:
         loader.close()
     assert loader._pool is None
+
+
+def test_bucketed_loader_dead_worker_raises(tmp_path, rng):
+    """A worker process killed mid-epoch (OOM/segfault) loses its replies;
+    the loader must raise in the training thread instead of blocking forever
+    in sample_q.get() (torch: 'DataLoader worker exited unexpectedly')."""
+    import functools
+    import time
+
+    from textflux_tpu.data.loader import BucketedLoader
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    data = {"data_list": []}
+    for i in range(8):
+        name = f"img_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (200, 200, 3), np.uint8)).save(img_root / name)
+        data["data_list"].append({
+            "img_name": name,
+            "annotations": [{"text": f"word{i}",
+                             "polygon": [[10, 10], [80, 10], [80, 40], [10, 40]]}],
+        })
+    json_path = tmp_path / "data.json"
+    json_path.write_text(json.dumps(data))
+    factory = functools.partial(
+        AnyWordSingleLineDataset, [(str(json_path), str(img_root))],
+        resolutions=[128], seed=5, bucket_quant=128)
+    ds = factory()
+
+    loader = BucketedLoader(ds, batch_size=2, num_procs=2,
+                            dataset_factory=factory, seed=0,
+                            worker_poll_s=0.5)
+    try:
+        it = iter(loader)
+        first = next(it)  # pool is up and producing
+        assert np.isfinite(first["pixel_values"]).all()
+        for p in loader._pool[2]:
+            p.terminate()   # simulate an OOM-killed worker
+        with pytest.raises(RuntimeError, match="worker process"):
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                next(it)
+    finally:
+        loader.close()

@@ -364,3 +364,14 @@ def test_chunked_auto_selection_invariants():
     for s, want_q in [(1696, 848), (2560, 640)]:
         bq, bk = fused_auto_blocks(s)
         assert bq == want_q and s % bq == 0 and s % bk == 0
+
+
+def test_pick_kv_chunk_rejects_oversized_block_k():
+    """Streaming path: an explicit block_k > 4096 must raise, not silently
+    return a whole-chunk residency over the VMEM cap."""
+    from textflux_tpu.ops.flash_attention import pick_kv_chunk
+
+    assert pick_kv_chunk(4096, 8192) == 4096       # single-pass: unaffected
+    with pytest.raises(ValueError, match="block_k"):
+        pick_kv_chunk(8704, 4608)
+    assert pick_kv_chunk(8704, 2048) <= 4096       # in-envelope unchanged

@@ -372,3 +372,41 @@ def test_mixed_tree_policy(rng):
     out = flux_apply(q, cfg, *args, attn_impl="xla")
     rel = np.linalg.norm(np.asarray(out) - np.asarray(ref)) / np.linalg.norm(np.asarray(ref))
     assert rel < 0.25, rel
+
+
+@pytest.mark.parametrize("mode,dq", [("weight_only", False), ("w8a8", False),
+                                     ("nf4", False), ("nf4", True),
+                                     ("mixed", False)])
+def test_zero_params_layout_matches_quantize_tree(mode, dq):
+    """benchmarks/zeroparams.zero_flux_params builds quantized zero trees
+    DIRECTLY (the 12B bf16 tree can't be materialized to quantize for real);
+    its layout must stay byte-identical in structure to quantize_tree's
+    output, or the benchmarks silently time a stale layout."""
+    from benchmarks.zeroparams import zero_flux_params
+    from textflux_tpu.config import FluxConfig
+
+    # hidden 128 so NF4's din % 128 == 0 packing engages; tiny joint/pooled
+    # dims exercise the weight-only fallback on non-divisible leaves
+    cfg = FluxConfig(in_channels=48, out_channels=16, num_double_layers=1,
+                     num_single_layers=1, num_heads=2, head_dim=64,
+                     joint_dim=32, pooled_dim=16, guidance_embeds=True,
+                     axes_dims_rope=(64, 32, 32), time_embed_channels=256)
+    real = quantize_tree(init_flux_params(jax.random.PRNGKey(0), cfg),
+                         min_size=0, mode=mode, double_quant=dq)
+    zero = zero_flux_params(cfg, mode, min_size=0, double_quant=dq)
+
+    def sig(tree):
+        return jax.tree.map(
+            lambda x: f"{tuple(jnp.asarray(x).shape)}|{jnp.asarray(x).dtype}",
+            tree)
+
+    real_s, zero_s = sig(real), sig(zero)
+    assert jax.tree.structure(real_s) == jax.tree.structure(zero_s)
+    mismatches = [
+        (a, b) for a, b in zip(jax.tree.leaves(real_s), jax.tree.leaves(zero_s))
+        if a != b
+        # unquantized passthrough leaves: real init is f32, the timing tree
+        # stores them bf16 on purpose — any other dtype or shape delta fails
+        and not (a == a.split("|")[0] + "|float32"
+                 and b == a.split("|")[0] + "|bfloat16")]
+    assert not mismatches, mismatches[:5]

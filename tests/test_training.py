@@ -213,7 +213,9 @@ def test_qlora_step_over_quantized_base(rng):
     vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
     tc = TR.TrainConfig(grad_accum=1, lora_rank=4, lora_alpha=4.0,
                         learning_rate=1e-3)
-    lora = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, tc.lora_rank)
+    # init from the QUANTIZED base, exactly as cli/train.py --quantize-base
+    # does (regression: lora_init used to require a "w" key and crashed)
+    lora = TR.lora_init(jax.random.PRNGKey(3), qbase, FLUX_TINY, tc.lora_rank)
     tx = TR.make_optimizer(tc)
     step = jax.jit(TR.make_lora_train_step(FLUX_TINY, VAE_TINY, tc, tx,
                                            attn_impl="xla"))
@@ -223,6 +225,34 @@ def test_qlora_step_over_quantized_base(rng):
     assert np.isfinite(float(metrics["loss"]))
     assert np.abs(np.asarray(new_lora["double"]["img_qkv"]["b"])).max() > 0
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_lora_init_dims_on_any_base_layout():
+    """lora_init must see identical factor shapes through every frozen-base
+    layout the CLI can hand it (bf16 / int8 / w8a8 / packed NF4)."""
+    w = jnp.zeros((3, 1, 16, 24), jnp.bfloat16)
+    layouts = [
+        {"w": w},
+        {"w_q": w.astype(jnp.int8)},
+        {"w_q8a8": w.astype(jnp.int8)},
+        {"w_nf4": jnp.zeros((3, 1, 8, 24), jnp.uint8)},
+    ]
+    for lay in layouts:
+        lead, d_in, d_out = TR.lora_target_dims(lay)
+        assert (tuple(lead), d_in, d_out) == ((3, 1), 16, 24), lay.keys()
+    with pytest.raises(KeyError):
+        TR.lora_target_dims({"b": w})
+
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    from textflux_tpu.io.quantize import quantize_tree
+
+    ref = TR.lora_init(jax.random.PRNGKey(3), params, FLUX_TINY, 4)
+    got = TR.lora_init(jax.random.PRNGKey(3),
+                       quantize_tree(params, min_size=0, mode="weight_only"),
+                       FLUX_TINY, 4)
+    assert jax.tree.map(lambda a, b: a.shape == b.shape, ref, got)
+    chex = jax.tree.leaves(jax.tree.map(lambda a, b: a.shape == b.shape, ref, got))
+    assert all(chex)
 
 
 def test_qlora_w8a8_base_raises(rng):

@@ -58,8 +58,12 @@ def _snap_bucket(img: Image.Image, quant: int) -> Image.Image:
     be shape-uniform for XLA — form slowly and drop_last discards heavily on
     small datasets. quant=32 is exact reference sizing (one //32 floor, as
     scripts/train uses); quant=128 bounds the bucket count to ~5 per
-    resolution at <=10% extra aspect distortion (the reference's own //32
-    snap already stretches by up to 31px, so distortion is in-family)."""
+    resolution. Extra aspect distortion vs the reference's own //32 stretch
+    is at most quant/2 on the short side: <=7% for short sides >= 896 (the
+    common near-square case at the 672-1024 resolutions), but up to ~14% at
+    ~448 and ~33% at ~192 — extreme-aspect panoramas distort most, and short
+    sides below quant are upscaled TO quant. Keep the B=1 default (32) when
+    aspect fidelity matters more than batch fill."""
     if quant <= 32:
         return _snap32(img)
     w, h = img.size

@@ -4,16 +4,15 @@ TPU-first replacement for the reference's torch DataLoader(num_workers=8)
 (scripts/train.py:775-780): XLA compiles one program per input shape, so
 batches are grouped by (H, W) bucket — a batch never mixes resolutions.
 
-Two prefetch backends:
-- threads (default): keeps decode/render work off the accelerator-feeding
-  thread. Latency-hiding, but PIL/numpy sample prep is largely GIL-bound —
-  measured ~14 items/s with 4 threads vs ~25 sequential on synthetic
-  AnyWord samples (threads can run *slower* than sequential under GIL
-  thrash).
-- processes (num_procs > 0 + dataset_factory): spawn workers that each
-  build their own dataset instance and stream samples back — the torch
-  worker-process equivalent, needed when B x grad_accum x data-parallel
-  consumption outruns one GIL.
+Two prefetch backends (measured on AnyWord samples,
+benchmarks/bench_data_pipeline.py — ARCHITECTURE.md "Input pipeline"):
+- threads (default): ~50 items/s at B=1 / ~43 at B=4 vs ~31 sequential —
+  PIL releases the GIL enough for threads to scale, and this is 10-50x the
+  12B step's ~1-4 items/s demand.
+- processes (num_procs > 0 + dataset_factory): persistent spawn pool, the
+  torch worker-process equivalent. Measured SLOWER than threads at this
+  sample size (~30 items/s at B=4; mp.Queue pickling of ~3 MB samples is
+  the bound) — kept for CPU-heavier per-item regimes, not the default.
 """
 
 from __future__ import annotations
@@ -73,6 +72,7 @@ class BucketedLoader:
         dataset_factory: Optional[Callable] = None,
         prefetch: int = 4,
         drop_last: bool = True,
+        worker_poll_s: float = 30.0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -87,6 +87,7 @@ class BucketedLoader:
                              "(workers rebuild the dataset in-process)")
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.worker_poll_s = worker_poll_s  # dead-worker liveness interval
         self.samples_per_batch = batch_size * grad_accum
         self._pool = None  # persistent process pool (lazy; process mode)
 
@@ -144,11 +145,28 @@ class BucketedLoader:
             for i in order:
                 idx_q.put(i)
 
+            procs = self._pool[2]
+
             def drained(expected=len(order)):
                 """Yield exactly one reply per enqueued index (count-based
-                epoch end; a persistent pool has no per-epoch sentinels)."""
+                epoch end; a persistent pool has no per-epoch sentinels).
+                A reply can be lost if its worker dies (OOM kill, segfault):
+                poll worker liveness instead of blocking forever — torch's
+                DataLoader raises 'worker exited unexpectedly' here too."""
                 for _ in range(expected):
-                    s = sample_q.get()
+                    while True:
+                        try:
+                            s = sample_q.get(timeout=self.worker_poll_s)
+                            break
+                        except queue.Empty:
+                            dead = [p for p in procs if not p.is_alive()]
+                            if dead:
+                                raise RuntimeError(
+                                    f"{len(dead)} loader worker process(es) "
+                                    f"died (exitcodes "
+                                    f"{[p.exitcode for p in dead]}); their "
+                                    "replies are lost — fix the worker crash "
+                                    "or use thread mode (--loader-procs 0)")
                     if not (isinstance(s, str) and s == _SKIP):
                         yield s
         else:
@@ -184,20 +202,24 @@ class BucketedLoader:
                     yield s
 
         def batcher():
-            buckets: Dict[tuple, List[dict]] = defaultdict(list)
-            for s in drained():
-                bucket = buckets[tuple(s["bucket"])]
-                bucket.append(s)
-                if len(bucket) == self.samples_per_batch:
-                    out_q.put(self._collate(bucket))
-                    buckets[tuple(s["bucket"])] = []
-            if not self.drop_last:
-                for leftover in buckets.values():
-                    while leftover:
-                        take = leftover[: self.samples_per_batch]
-                        del leftover[: self.samples_per_batch]
-                        if len(take) == self.samples_per_batch:
-                            out_q.put(self._collate(take))
+            try:
+                buckets: Dict[tuple, List[dict]] = defaultdict(list)
+                for s in drained():
+                    bucket = buckets[tuple(s["bucket"])]
+                    bucket.append(s)
+                    if len(bucket) == self.samples_per_batch:
+                        out_q.put(self._collate(bucket))
+                        buckets[tuple(s["bucket"])] = []
+                if not self.drop_last:
+                    for leftover in buckets.values():
+                        while leftover:
+                            take = leftover[: self.samples_per_batch]
+                            del leftover[: self.samples_per_batch]
+                            if len(take) == self.samples_per_batch:
+                                out_q.put(self._collate(take))
+            except BaseException as e:  # forward to the consuming thread
+                out_q.put(e)
+                return
             out_q.put(None)
 
         bt = threading.Thread(target=batcher, daemon=True)
@@ -209,6 +231,8 @@ class BucketedLoader:
                 if batch is None:
                     complete = True
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

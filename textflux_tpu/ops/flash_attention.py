@@ -534,6 +534,13 @@ def pick_kv_chunk(sp: int, block_k: int) -> int:
     measured-good CHUNK_TARGET."""
     if sp <= 6144:
         return sp
+    if block_k > 4096:
+        # the m=1 fallback would return kv_chunk=block_k and silently break
+        # the residency cap (same failure mode the hoist_k guard rejects)
+        raise ValueError(
+            f"streaming path (seq {sp} > 6144) requires block_k <= 4096 so a "
+            f"whole K/V chunk stays VMEM-resident; got block_k={block_k} — "
+            "drop block_k or leave blocks unset for the measured auto-fit")
     best = None
     for m in range(1, max(1, 4096 // block_k) + 1):
         c = m * block_k

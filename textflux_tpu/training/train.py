@@ -160,11 +160,27 @@ def _lora_set_leaf(out_group, src_group, name: str, leaf):
     out_group[parts[0]] = sub
 
 
-def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
-    """Per-target (A, B) factors: A ~ N(0, 1/r) (gaussian init), B = 0."""
+def lora_target_dims(leaf):
+    """(lead, d_in, d_out) of a LoRA target leaf in any base layout: bf16
+    ("w"), int8 ("w_q"/"w_q8a8", unpacked shape) or NF4 ("w_nf4", packed
+    (d_in//2, d_out)). The QLoRA CLI quantizes the frozen base BEFORE LoRA
+    init, so init must not assume a "w" key."""
+    for k in ("w", "w_q", "w_q8a8"):
+        if k in leaf:
+            *lead, d_in, d_out = leaf[k].shape
+            return lead, d_in, d_out
+    if "w_nf4" in leaf:
+        *lead, half, d_out = leaf["w_nf4"].shape
+        return lead, 2 * half, d_out
+    raise KeyError(f"no weight key in LoRA target leaf: {sorted(leaf)}")
 
-    def factors(key, w):
-        *lead, d_in, d_out = w.shape
+
+def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
+    """Per-target (A, B) factors: A ~ N(0, 1/r) (gaussian init), B = 0.
+    Works over bf16 AND serve-quantized bases (see lora_target_dims)."""
+
+    def factors(key, leaf):
+        lead, d_in, d_out = lora_target_dims(leaf)
         ka, _ = jax.random.split(key)
         a = jax.random.normal(ka, (*lead, d_in, rank), jnp.float32) / rank
         b = jnp.zeros((*lead, rank, d_out), jnp.float32)
@@ -175,10 +191,10 @@ def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
     tree = {"double": {}, "single": {}}
     for name in LORA_TARGETS_DOUBLE:
         tree["double"][name] = factors(
-            next(ki), lora_target_leaf(params["double"], name)["w"])
+            next(ki), lora_target_leaf(params["double"], name))
     for name in LORA_TARGETS_SINGLE:
         tree["single"][name] = factors(
-            next(ki), lora_target_leaf(params["single"], name)["w"])
+            next(ki), lora_target_leaf(params["single"], name))
     return tree
 
 
