@@ -241,3 +241,67 @@ def test_quantized_t5_loads_and_is_close(tiny_checkpoint):
                                      dtype=jnp.float32)
     assert np.allclose(np.asarray(t_ref), np.asarray(t_q), atol=0.1, rtol=0.2)
     assert np.asarray(t_q).std() > 0
+
+
+def test_train_cli_preemption_checkpoint(tiny_checkpoint, tmp_path, rng):
+    """SIGTERM (the TPU-pod preemption notice) mid-run: the trainer finishes
+    the in-flight step, saves a checkpoint, logs {'preempted': true}, skips
+    the final export, and `--resume-from-checkpoint latest` continues."""
+    import os
+    import signal
+    import threading
+    import time
+
+    from textflux_tpu.cli.train import main
+
+    data_dir = tmp_path / "data"
+    (data_dir / "mask").mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            data_dir / f"s_{i}.png")
+        m = np.zeros((64, 64), np.uint8)
+        m[20:40, 20:40] = 255
+        Image.fromarray(m).save(data_dir / "mask" / f"s_{i}_mask.png")
+        (data_dir / f"s_{i}.txt").write_text("the text\n")
+
+    out_dir = tmp_path / "out"
+    log = out_dir / "train_log.jsonl"
+    args = [
+        "--model", tiny_checkpoint,
+        "--data-dir", str(data_dir),
+        "--resolution", "64",
+        "--output-dir", str(out_dir),
+        "--mode", "attn",
+        "--train-batch-size", "1",
+        "--grad-accum", "1",
+        "--max-train-steps", "50",
+        "--checkpointing-steps", "100",   # never reached: only the preemption saves
+        "--max-sequence-length", "16",
+        "--log-every", "1",
+        "--mesh", "1,1,1",
+    ]
+
+    def preempt_after_first_step():
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if log.exists() and log.read_text().strip():
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.2)
+
+    threading.Thread(target=preempt_after_first_step, daemon=True).start()
+    main(args)
+
+    lines = [json.loads(l) for l in log.read_text().strip().splitlines()]
+    assert lines[-1].get("preempted") is True
+    stop_step = lines[-1]["step"]
+    assert 1 <= stop_step < 50
+    assert not (out_dir / "transformer").exists()   # no half-trained final export
+
+    args2 = [a for a in args]
+    args2[args2.index("--max-train-steps") + 1] = str(stop_step + 1)
+    main(args2 + ["--resume-from-checkpoint", "latest"])
+    lines2 = [json.loads(l) for l in log.read_text().strip().splitlines()]
+    assert lines2[-1]["step"] == stop_step + 1
+    assert np.isfinite(lines2[-1]["loss"])
+    assert (out_dir / "transformer" / "config.json").exists()

@@ -345,6 +345,23 @@ def main(argv=None):
 
         from textflux_tpu.utils.tracking import Tracker, profile_trace
 
+        # TPU-pod preemption safety: on SIGTERM (the preemption notice),
+        # finish the in-flight step, checkpoint, and exit cleanly so
+        # `--resume-from-checkpoint latest` continues where it stopped.
+        # (The reference's accelerate/DeepSpeed stack loses everything since
+        # the last --checkpointing_steps save.)
+        import signal
+
+        preempt = {"seen": False}
+
+        def _on_sigterm(signum, frame):
+            preempt["seen"] = True
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (in-process test harness)
+            prev_sigterm = None
+
         key = jax.random.PRNGKey(args.seed)
         step = int(state["step"])
         log_path = os.path.join(args.output_dir, "train_log.jsonl")
@@ -398,6 +415,23 @@ def main(argv=None):
                                 step)
                 if step % args.checkpointing_steps == 0:
                     ckpt.save(step, state)
+                elif preempt["seen"]:
+                    ckpt.save(step, state)
+                if preempt["seen"]:
+                    break
+            if preempt["seen"]:
+                break
+
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
+        if preempt["seen"]:
+            entry = {"step": step, "preempted": True}
+            print(json.dumps(entry))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            print("preempted: checkpoint saved; resume with "
+                  "--resume-from-checkpoint latest")
+            return
 
         # final artifact in diffusers layout
         if args.mode == "lora":
