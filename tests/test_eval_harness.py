@@ -215,3 +215,30 @@ def test_run_eval_cli_staged_text(monkeypatch, two_bucket_fixture):
         np.testing.assert_allclose(a, b, atol=1, err_msg=name)
     report = json.loads((tmp / "staged" / "failures.json").read_text())
     assert report["done"] == 5 and report["failed"] == 0
+
+
+def test_run_eval_cli_skip_existing(monkeypatch, two_bucket_fixture):
+    """--skip-existing resumes an interrupted run: items with both outputs
+    already on disk are not regenerated (mtime-stable), partially-written
+    items rerun, and the report counts the skips."""
+    import os
+    import time
+
+    jp, imgs, tmp = two_bucket_fixture
+    out = tmp / "resume"
+    _run_eval_cli(monkeypatch, jp, imgs, out, 1)
+    names = sorted(os.listdir(out / "full_images"))
+    assert len(names) == 5
+
+    # simulate an interrupted run: one item lost its cropped output
+    os.remove(out / "cropped_images" / names[0])
+    mtimes = {n: os.path.getmtime(out / "full_images" / n) for n in names[1:]}
+    time.sleep(0.05)
+
+    _run_eval_cli(monkeypatch, jp, imgs, out, 1, extra=("--skip-existing",))
+    report = json.loads((out / "failures.json").read_text())
+    assert report["skipped_existing"] == 4
+    assert report["done"] == 1 and report["failed"] == 0
+    assert os.path.exists(out / "cropped_images" / names[0])  # regenerated
+    for n, m in mtimes.items():  # untouched, not rewritten
+        assert os.path.getmtime(out / "full_images" / n) == m

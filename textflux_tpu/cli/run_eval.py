@@ -174,6 +174,9 @@ def main(argv=None):
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
     p.add_argument("--font", default=None)
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--skip-existing", action="store_true",
+                   help="resume an interrupted run: skip items whose full + "
+                        "cropped outputs already exist in --output-dir")
     p.add_argument("--batch-size", type=int, default=1,
                    help="device-wide batch per (H,W) bucket; 1 = per-item path")
     p.add_argument("--mesh", default=None,
@@ -225,6 +228,18 @@ def main(argv=None):
     items = load_items(args.json_path)
     if args.limit:
         items = items[: args.limit]
+    skipped = 0
+    if args.skip_existing:
+        def _done(it):
+            n = it.get("img_name", "")
+            return (os.path.exists(os.path.join(full_dir, n))
+                    and os.path.exists(os.path.join(crop_dir, n)))
+
+        before = len(items)
+        items = [it for it in items if not _done(it)]
+        skipped = before - len(items)
+        if skipped:
+            print(f"skipping {skipped} already-generated items")
     print(f"{len(items)} eval items")
 
     failures: List[dict] = []
@@ -270,7 +285,7 @@ def main(argv=None):
             save_fn=save_fn, failures=failures)
 
     report = {"total": len(items), "done": len(saved), "failed": len(failures),
-              "failures": failures}
+              "skipped_existing": skipped, "failures": failures}
     with open(os.path.join(args.output_dir, "failures.json"), "w",
               encoding="utf-8") as f:
         json.dump(report, f, ensure_ascii=False, indent=2)
