@@ -220,3 +220,23 @@ def test_nf4_pipeline_runs():
     out = pipe(image=img, mask_image=mask, words=["q"], seed=0,
                dtype=jnp.float32, output_type="np")
     assert np.isfinite(out).all()
+
+
+def test_overshoot_c_is_traced_not_static():
+    """overshoot_c must be a traced multiplier: a static arg recompiled the
+    whole full-width denoise program for every demo-slider value (~2-4 min
+    per value through the tunnel). Different c values -> different outputs,
+    same compiled program."""
+    pipe = _tiny_pipeline()
+    img, mask = _inputs()
+    kw = dict(image=img, mask_image=mask, words=["hi"], sampler="overshoot",
+              seed=0, dtype=jnp.float32, output_type="np",
+              num_inference_steps=3)
+    # c=1.0 stays below the t<=1 overshoot clip that large c saturates at
+    # the early steps, so the two trajectories genuinely differ
+    out_a = pipe(overshoot_c=1.0, **kw)
+    n_compiles = pipe._denoise._cache_size()
+    out_b = pipe(overshoot_c=3.0, **kw)
+    assert pipe._denoise._cache_size() == n_compiles  # no retrace for new c
+    assert np.isfinite(out_b).all()
+    assert np.abs(out_a - out_b).max() > 1e-5         # c actually applied

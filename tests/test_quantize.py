@@ -410,3 +410,35 @@ def test_zero_params_layout_matches_quantize_tree(mode, dq):
         and not (a == a.split("|")[0] + "|float32"
                  and b == a.split("|")[0] + "|bfloat16")]
     assert not mismatches, mismatches[:5]
+
+
+def test_quantize_preserves_lora_branch_keys():
+    """Serving a lora_insert-merged tree through quantize_tree must keep the
+    parallel lora_a/lora_b branches (layers.dense applies them over any
+    quantized base — the QLoRA serving layout); they used to be silently
+    dropped. Unknown modes must raise, not fall back to weight_only."""
+    rng = np.random.default_rng(0)
+    leaf = {"w": jnp.asarray(rng.standard_normal((128, 64)), jnp.float32),
+            "b": jnp.zeros((64,), jnp.bfloat16),
+            "lora_a": jnp.asarray(rng.standard_normal((128, 4)), jnp.float32),
+            "lora_b": jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)}
+    for mode in ("weight_only", "w8a8", "nf4"):
+        q = quantize_dense(dict(leaf), mode)
+        assert "lora_a" in q and "lora_b" in q and "b" in q, (mode, sorted(q))
+        assert "w" not in q
+        x = jnp.asarray(rng.standard_normal((3, 128)), jnp.bfloat16)
+        with_lora = dense(q, x)
+        without = dense({k: v for k, v in q.items()
+                         if k not in ("lora_a", "lora_b")}, x)
+        branch = (x @ leaf["lora_a"].astype(x.dtype)) @ leaf["lora_b"].astype(x.dtype)
+        # bf16 activations at |y| ~ 30: rounding alone is ~0.25 absolute
+        np.testing.assert_allclose(
+            np.asarray(with_lora - without, np.float32),
+            np.asarray(branch, np.float32), atol=0.6, rtol=0.05)
+    # nf4 fallback leaf (in-dim not a multiple of 128) keeps them too
+    small = dict(leaf, w=leaf["w"][:96], lora_a=leaf["lora_a"][:96])
+    q = quantize_dense(small, "nf4")
+    assert "w_q" in q and "lora_a" in q
+
+    with pytest.raises(ValueError, match="unknown quantize mode"):
+        quantize_dense(dict(leaf), "int8")

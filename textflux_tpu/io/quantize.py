@@ -49,17 +49,25 @@ def quantize_dense(p: dict, mode: str = "weight_only",
     when the in-dim is not a multiple of 128). double_quant additionally
     stores the absmax as per-column linear uint8 codes ({'absmax8',
     'amax_lo', 'amax_hi'}) — the bnb double-quantization analogue, ~0.6 GiB
-    back on the 12B DiT for a measured ~0.1% extra velocity error."""
+    back on the 12B DiT for a measured ~0.1% extra velocity error.
+
+    Non-'w' keys (bias, lora_a/lora_b parallel branches from
+    training.train.lora_insert) pass through untouched — layers.dense
+    applies them over any quantized base (the QLoRA serving layout)."""
     if mode == "nf4":
         return _quantize_dense_nf4(p, double_quant=double_quant)
+    if mode not in ("weight_only", "w8a8"):
+        raise ValueError(
+            f"unknown quantize mode {mode!r}: expected weight_only | w8a8 | "
+            "nf4 (or 'mixed' via quantize_tree)")
     w = jnp.asarray(p["w"], jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=-2)                      # (..., out)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     w_q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     key = "w_q8a8" if mode == "w8a8" else "w_q"
-    out = {key: w_q, "scale": scale.astype(jnp.float32)}
-    if "b" in p:
-        out["b"] = p["b"]
+    out = {k: v for k, v in p.items() if k != "w"}
+    out[key] = w_q
+    out["scale"] = scale.astype(jnp.float32)
     return out
 
 
@@ -99,12 +107,12 @@ def _quantize_dense_nf4(p: dict, double_quant: bool = False) -> dict:
         code8 = jnp.clip(jnp.round(
             (absmax - lo[..., None, :]) / span[..., None, :] * 255.0),
             0, 255).astype(jnp.uint8)
-        out = {"w_nf4": packed, "absmax8": code8,
-               "amax_lo": lo, "amax_hi": hi}
+    out = {k: v for k, v in p.items() if k != "w"}  # bias / lora_a / lora_b
+    out["w_nf4"] = packed
+    if double_quant:
+        out.update(absmax8=code8, amax_lo=lo, amax_hi=hi)
     else:
-        out = {"w_nf4": packed, "absmax4": absmax}
-    if "b" in p:
-        out["b"] = p["b"]
+        out["absmax4"] = absmax
     return out
 
 

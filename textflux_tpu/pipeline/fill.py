@@ -19,7 +19,7 @@ all image math is NHWC.
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
 import jax
@@ -38,7 +38,6 @@ from textflux_tpu.models import transformer
 from textflux_tpu.models.transformer import flux_apply
 from textflux_tpu.models.vae import vae_decode, vae_encode
 from textflux_tpu.ops import packing, samplers
-from textflux_tpu.ops.rope import rope_tables
 from textflux_tpu.pipeline import image_processor as improc
 from textflux_tpu.pipeline.prompts import build_prompts
 
@@ -211,9 +210,55 @@ class FillPipeline:
         self._encode_text = jax.jit(encode_text, static_argnames=("dtype",))
         self._prepare_cond = jax.jit(prepare_cond)
         self._prepare_cond_batch = jax.jit(prepare_cond_batch)
-        self._denoise = jax.jit(denoise,
-                                static_argnames=("sampler", "overshoot_c", "kv_len"))
+        # overshoot_c stays a TRACED scalar: it is only ever a multiplier in
+        # the samplers, and a static arg would recompile the full-width
+        # denoise program for every new demo-slider value (~2-4 min each
+        # through the tunnel)
+        self._denoise = jax.jit(denoise, static_argnames=("sampler", "kv_len"))
         self._decode = jax.jit(decode, static_argnames=("lat_h", "lat_w"))
+
+    def _run_denoise(self, latents, cond, txt, pooled, step_keys, *,
+                     t_img: int, lat_h: int, lat_w: int, steps: int,
+                     guidance_scale: float, sampler: str, overshoot_c: float,
+                     seq_pad_multiple):
+        """Shared tail of __call__ and generate_batch: sequence-bucket
+        padding (masked kv), RoPE tables, the dynamic-shift schedule, the
+        jitted denoise scan, and unpadding — ONE implementation so the
+        per-item and batched paths cannot drift apart."""
+        cfgp = self.pipe_cfg
+        t_txt = txt.shape[1]
+        ids = np.concatenate([packing.text_ids(t_txt),
+                              packing.latent_image_ids(lat_h, lat_w)], axis=0)
+
+        # optional sequence bucketing: pad image tokens to a multiple so the
+        # denoise program compiles once per bucket, with padded keys masked
+        kv_len = None
+        t_pad = t_img
+        if seq_pad_multiple:
+            t_pad = -(-t_img // seq_pad_multiple) * seq_pad_multiple
+            if t_pad != t_img:
+                pad = t_pad - t_img
+                latents = jnp.pad(latents, ((0, 0), (0, pad), (0, 0)))
+                cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
+                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
+                kv_len = t_txt + t_img
+
+        cos, sin = self._rope_tables(ids)
+        sigmas = samplers.make_schedule(
+            steps, t_img,
+            base_seq_len=cfgp.base_image_seq_len, max_seq_len=cfgp.max_image_seq_len,
+            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift,
+        )
+        b = latents.shape[0]
+        guidance = (jnp.full((b,), guidance_scale, jnp.float32)
+                    if self.flux_cfg.guidance_embeds else None)
+        latents = self._denoise(
+            self.flux_params, latents, cond, txt, pooled,
+            jnp.asarray(sigmas), guidance,
+            jnp.asarray(cos), jnp.asarray(sin), step_keys,
+            sampler, float(overshoot_c), kv_len,
+        )
+        return latents[:, :t_img] if t_pad != t_img else latents
 
     # ------------------------------------------------------------------
     # public API
@@ -299,43 +344,15 @@ class FillPipeline:
             key_noise, (b, t_img, self.vae_cfg.latent_channels * 4), jnp.float32
         ).astype(dtype)
 
-        ids = np.concatenate([packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], axis=0)
+        # improc.preprocess_* always yield batch 1 here; batched generation
+        # goes through generate_batch, which builds per-sample key streams
+        step_keys = jax.random.split(key_steps, steps)[:, None, :]  # (steps, 1, 2)
 
-        # optional sequence bucketing: pad image tokens to a multiple so the
-        # denoise program compiles once per bucket, with padded keys masked
-        kv_len = None
-        t_pad = t_img
-        if seq_pad_multiple:
-            t_pad = -(-t_img // seq_pad_multiple) * seq_pad_multiple
-            if t_pad != t_img:
-                pad = t_pad - t_img
-                latents = jnp.pad(latents, ((0, 0), (0, pad), (0, 0)))
-                cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
-                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
-                kv_len = t_txt + t_img
-
-        cos, sin = self._rope_tables(ids)
-
-        sigmas = samplers.make_schedule(
-            steps, t_img,
-            base_seq_len=cfgp.base_image_seq_len, max_seq_len=cfgp.max_image_seq_len,
-            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift,
-        )
-        guidance = jnp.full((b,), guidance_scale, jnp.float32) if self.flux_cfg.guidance_embeds else None
-        step_keys = jax.random.split(key_steps, steps)          # (steps, 2)
-        if b == 1:
-            step_keys = step_keys[:, None, :]                   # (steps, 1, 2)
-        else:
-            step_keys = jax.vmap(lambda k: jax.random.split(k, b))(step_keys)
-
-        latents = self._denoise(
-            self.flux_params, latents, cond, txt, pooled,
-            jnp.asarray(sigmas), guidance,
-            jnp.asarray(cos), jnp.asarray(sin), step_keys,
-            sampler, float(overshoot_c), kv_len,
-        )
-        if t_pad != t_img:
-            latents = latents[:, :t_img]
+        latents = self._run_denoise(
+            latents, cond, txt, pooled, step_keys,
+            t_img=t_img, lat_h=lat_h, lat_w=lat_w, steps=steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+            overshoot_c=overshoot_c, seq_pad_multiple=seq_pad_multiple)
 
         if output_type == "latent":
             return latents
@@ -466,7 +483,7 @@ class FillPipeline:
         mask = jnp.asarray(np.concatenate(
             [improc.preprocess_mask(m, height, width) for m in masks]), dtype)
 
-        mesh = getattr(self, "mesh", None)
+        mesh = mesh_pre
         bspec = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -516,34 +533,11 @@ class FillPipeline:
         if bspec is not None:
             latents = jax.device_put(latents, bspec)
 
-        ids = np.concatenate(
-            [packing.text_ids(txt.shape[1]), packing.latent_image_ids(lat_h, lat_w)], axis=0)
-
-        kv_len = None
-        t_pad = t_img
-        if seq_pad_multiple:
-            t_pad = -(-t_img // seq_pad_multiple) * seq_pad_multiple
-            if t_pad != t_img:
-                pad = t_pad - t_img
-                latents = jnp.pad(latents, ((0, 0), (0, pad), (0, 0)))
-                cond = jnp.pad(cond, ((0, 0), (0, pad), (0, 0)))
-                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
-                kv_len = txt.shape[1] + t_img
-
-        cos, sin = self._rope_tables(ids)
-        sigmas = samplers.make_schedule(
-            steps, t_img, base_seq_len=cfgp.base_image_seq_len,
-            max_seq_len=cfgp.max_image_seq_len,
-            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift)
-        guidance = (jnp.full((b,), guidance_scale, jnp.float32)
-                    if self.flux_cfg.guidance_embeds else None)
-
-        latents = self._denoise(
-            self.flux_params, latents, cond, txt, pooled,
-            jnp.asarray(sigmas), guidance, jnp.asarray(cos), jnp.asarray(sin),
-            step_keys, sampler, float(overshoot_c), kv_len)
-        if t_pad != t_img:
-            latents = latents[:, :t_img]
+        latents = self._run_denoise(
+            latents, cond, txt, pooled, step_keys,
+            t_img=t_img, lat_h=lat_h, lat_w=lat_w, steps=steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+            overshoot_c=overshoot_c, seq_pad_multiple=seq_pad_multiple)
         images_out = self._decode(self.vae_params, latents, lat_h, lat_w)
         outs = improc.postprocess_image(np.asarray(images_out.astype(jnp.float32)))
         return outs[:b_real]
