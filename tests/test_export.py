@@ -160,3 +160,19 @@ def test_lora_import_roundtrip_matches_delta(rng):
             w_imp = lora_target_leaf(merged_imp[group], name)["w"]
             np.testing.assert_allclose(np.asarray(w_imp), np.asarray(w_ref),
                                        atol=1e-5, err_msg=f"{group}.{name}")
+
+
+def test_guidance_embeds_mismatch_raises(tmp_path):
+    """guidance_embeds was the one config.json mismatch that failed SILENTLY
+    (the converter just dropped the guidance embedder and generations went
+    quietly wrong); it must crash like every other mismatch."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    params = init_flux_params(jax.random.PRNGKey(2), FLUX_TINY)
+    out = str(tmp_path / "transformer")
+    save_transformer_checkpoint(params, FLUX_TINY, out)
+    no_guidance = dataclasses.replace(FLUX_TINY, guidance_embeds=False)
+    with pytest.raises(ValueError, match="guidance_embeds"):
+        load_flux_transformer(out, no_guidance, dtype=jnp.float32)

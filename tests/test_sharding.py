@@ -88,3 +88,53 @@ def test_sharded_train_step_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(out_params["double"]["img_qkv"]["w"]),
         np.asarray(ref_params["double"]["img_qkv"]["w"]), atol=1e-5)
+
+
+def test_adapt_specs_handles_lora_carrying_leaves():
+    """A QLoRA serving tree (parallel lora_a/lora_b branches, quantized or
+    not, plus the _tp_layout marker) must shard without pytree-structure
+    errors; the rank-r factors replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from textflux_tpu.io.quantize import quantize_tree
+    from textflux_tpu.training.train import lora_init, lora_insert
+
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    lora = lora_init(jax.random.PRNGKey(1), params, FLUX_TINY, 2)
+
+    # unquantized base + lora branches
+    merged = lora_insert(params, lora, 1.0)
+    merged["_tp_layout"] = jnp.asarray(1, jnp.int32)
+    specs = PT.adapt_specs_to_params(PT.flux_param_specs(FLUX_TINY), merged)
+    assert jax.tree.structure(specs) == jax.tree.structure(
+        jax.tree.map(lambda _: P(), merged))
+    assert specs["double"]["img_qkv"]["lora_a"] == P()
+    assert specs["_tp_layout"] == P()
+
+    # quantized base + lora branches
+    qmerged = quantize_tree(lora_insert(params, lora, 1.0), min_size=0)
+    qspecs = PT.adapt_specs_to_params(PT.flux_param_specs(FLUX_TINY), qmerged)
+    assert qspecs["double"]["img_qkv"]["lora_b"] == P()
+    mesh = PT.make_mesh((1, 2, 2), jax.devices()[:4])
+    PT.shard_tree(qmerged, qspecs, mesh)  # must not raise
+
+
+def test_tp_requires_permuted_weights():
+    """flux_apply(tp>1) on naturally-ordered weights would silently scramble
+    q/k/v; the _tp_layout marker turns that into a trace-time error."""
+    from textflux_tpu.models.transformer import flux_apply, tp_permute_flux_params
+    from textflux_tpu.ops.rope import rope_tables
+    from textflux_tpu.ops import packing
+
+    cfg = FLUX_TINY
+    params = init_flux_params(jax.random.PRNGKey(0), cfg)
+    mesh = PT.make_mesh((1, 1, 2), jax.devices()[:2])
+    ids = np.concatenate([packing.text_ids(4), packing.latent_image_ids(4, 4)], 0)
+    cos, sin = rope_tables(ids, cfg.axes_dims_rope)
+    args = (jnp.zeros((1, 4, cfg.in_channels)), jnp.zeros((1, 4, cfg.joint_dim)),
+            jnp.zeros((1, cfg.pooled_dim)), jnp.array([0.5]), jnp.array([4.0]),
+            jnp.asarray(cos), jnp.asarray(sin))
+    with pytest.raises(ValueError, match="tp_permute_flux_params"):
+        with mesh:
+            flux_apply(params, cfg, *args, tp=2, mesh=mesh)
+    assert "_tp_layout" in tp_permute_flux_params(params, cfg, 2)

@@ -295,6 +295,10 @@ def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16,
             "num_single_layers": cfg.num_single_layers,
             "num_attention_heads": cfg.num_heads,
             "attention_head_dim": cfg.head_dim,
+            # the one mismatch that would otherwise fail SILENTLY: the
+            # converter would drop guidance_embedder.* and flux_vec would
+            # skip guidance conditioning — wrong images, no error
+            "guidance_embeds": cfg.guidance_embeds,
         }
         for k, ours in checks.items():
             if k in ref and ref[k] != ours:
@@ -315,7 +319,11 @@ def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16,
         name = path_leaf[-1].key if hasattr(path_leaf[-1], "key") else str(path_leaf[-1])
         arr = np.asarray(x)
         target = np.float32 if name.endswith("scale") else dtype
-        return jax.device_put(arr.astype(target), NamedSharding(mesh, spec))
+        # copy=False: the checkpoint is usually already bf16 — an
+        # unconditional astype copy would double transient host memory on
+        # the 24 GB host tree
+        return jax.device_put(arr.astype(target, copy=False),
+                              NamedSharding(mesh, spec))
 
     flat_specs = {jax.tree_util.keystr(p): s for p, s in
                   jax.tree_util.tree_flatten_with_path(

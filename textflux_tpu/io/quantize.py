@@ -34,6 +34,15 @@ NF4_CODEBOOK = (
 )
 NF4_BLOCK = 64
 
+# Every dense-leaf key whose LAST axis is the output dim, across all base
+# layouts this module can produce (bf16 / int8 / w8a8 / nf4 / double-quant /
+# parallel LoRA branch). The load-time permutation transforms
+# (models.transformer.half_permute_flux_params / tp_permute_flux_params)
+# gather along this axis and MUST cover every layout — they import this
+# constant so a new aux key added here cannot silently bypass them.
+OUT_AXIS_KEYS = ("w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4",
+                 "absmax8", "amax_lo", "amax_hi", "b", "lora_b")
+
 
 def quantize_dense(p: dict, mode: str = "weight_only",
                    double_quant: bool = False) -> dict:

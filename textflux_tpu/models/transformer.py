@@ -187,6 +187,12 @@ def _tp_attn_mlp(mesh, bax, fn, qkv, mlp, reps):
 def _batch_axes(mesh, b: int):
     """Shard the batch dim over (data, fsdp) when it divides; B=1 single-image
     calls on a multi-chip mesh stay replicated over the data axes."""
+    missing = [a for a in ("data", "fsdp", "tensor") if a not in mesh.shape]
+    if missing:
+        raise ValueError(
+            f"tensor-parallel flux_apply needs a ('data', 'fsdp', 'tensor') "
+            f"mesh (build it with parallel.partitioning.make_mesh); the given "
+            f"mesh {tuple(mesh.shape)} lacks {missing}")
     df = mesh.shape["data"] * mesh.shape["fsdp"]
     return ("data", "fsdp") if b % df == 0 else None
 
@@ -487,6 +493,13 @@ def flux_apply(
     dtype = img_tokens.dtype
     if tp > 1 and mesh is None:
         raise ValueError("tp > 1 requires the mesh")
+    if tp > 1 and "_tp_layout" not in params:
+        # without the device-major permute the (b,s,tp,chunk) splits read
+        # natural [q|k|v] columns as device-major — silently scrambled
+        # attention, not an error, hence this trace-time check
+        raise ValueError(
+            "tp > 1 requires tp_permute_flux_params'd weights (device-major "
+            "fused columns); FillPipeline.shard_for_serving applies it")
     bax = _batch_axes(mesh, img_tokens.shape[0]) if tp > 1 else None
 
     if mods is None:
@@ -578,17 +591,25 @@ def half_permute_flux_params(params, cfg: FluxConfig):
         [h * cfg.head_dim + perm for h in range(cfg.num_heads)])
 
     def permute_qkv(p, extra_cols: int = 0):
+        from textflux_tpu.io.quantize import OUT_AXIS_KEYS
+
         idx = np.concatenate([per_head, d + per_head,
                               2 * d + np.arange(d + extra_cols)])
         # every quantized-leaf layout keeps the out dim last, so one gather
         # covers them all (w_nf4 packs along the IN dim, absmax4 groups it —
         # their out axes are untouched by packing); lora_b's out columns
         # permute identically, lora_a acts on the in dim and passes through
-        out = {k: v[..., idx] for k, v in p.items()
-               if k in ("w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4",
-                        "absmax8", "amax_lo", "amax_hi", "b", "lora_b")}
-        if "lora_a" in p:
-            out["lora_a"] = p["lora_a"]
+        out = {}
+        for k, v in p.items():
+            if k in OUT_AXIS_KEYS:
+                out[k] = v[..., idx]
+            elif k == "lora_a":
+                out[k] = v
+            else:  # never drop silently: a new aux leaf needs a decision here
+                raise KeyError(
+                    f"unknown dense-leaf key {k!r} in half_permute_flux_params"
+                    " — add it to io.quantize.OUT_AXIS_KEYS (out-dim-last) or"
+                    " handle it explicitly")
         return out
 
     out = dict(params)
@@ -654,10 +675,19 @@ def tp_permute_flux_params(params, cfg: FluxConfig, tp: int):
             f"hidden={d}, mlp={m}, heads={h} must all be divisible by tp={tp}")
 
     def permute_out(p, idx):
-        out = {k: (v[..., idx] if k in (
-            "w", "w_q", "w_q8a8", "w_nf4", "scale", "absmax4", "absmax8",
-            "amax_lo", "amax_hi", "b", "lora_b") else v)
-            for k, v in p.items()}
+        from textflux_tpu.io.quantize import OUT_AXIS_KEYS
+
+        out = {}
+        for k, v in p.items():
+            if k in OUT_AXIS_KEYS:
+                out[k] = v[..., idx]
+            elif k == "lora_a":  # acts on the in dim: untouched
+                out[k] = v
+            else:
+                raise KeyError(
+                    f"unknown dense-leaf key {k!r} in tp_permute_flux_params"
+                    " — add it to io.quantize.OUT_AXIS_KEYS (out-dim-last) or"
+                    " handle it explicitly")
         return out
 
     def permute_in(p, idx):
@@ -680,6 +710,10 @@ def tp_permute_flux_params(params, cfg: FluxConfig, tp: int):
     l2_idx = _devmajor_idx((d, m), tp)
 
     out = dict(params)
+    # layout marker: flux_apply(tp>1) checks for this key at trace time —
+    # running the tp fast path on naturally-ordered weights produces silently
+    # scrambled q/k/v, not an error, so the missed permute must be caught here
+    out["_tp_layout"] = jnp.asarray(tp, jnp.int32)
     dbl = dict(params["double"])
     dbl["img_qkv"] = permute_out(params["double"]["img_qkv"], qkv_idx)
     dbl["txt_qkv"] = permute_out(params["double"]["txt_qkv"], qkv_idx)

@@ -36,6 +36,12 @@ def make_mesh(shape: Optional[Tuple[int, int, int]] = None, devices=None) -> Mes
     need = int(np.prod(shape))
     if need > n:
         raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    if need < n and devices is None:
+        import warnings
+
+        warnings.warn(
+            f"mesh shape {shape} uses {need} of {n} available devices; pass "
+            "devices= explicitly to subset intentionally", stacklevel=2)
     arr = np.asarray(devices[:need]).reshape(shape)
     return Mesh(arr, MESH_AXES)
 
@@ -123,11 +129,24 @@ def adapt_specs_to_params(specs, params):
                 elif k in ("absmax4", "absmax8"):
                     # (..., in/64, out): same rank/axis layout as w
                     out[k] = wspec
+                elif k in ("lora_a", "lora_b"):
+                    # rank-r parallel branches (QLoRA serving layout): tiny —
+                    # replicate rather than shard a rank axis that rarely
+                    # divides tp
+                    out[k] = P()
                 else:  # bias
                     out[k] = s.get("b", P())
             return out
         if isinstance(s, dict) and isinstance(p, dict):
-            return {k: rec(s[k], p[k]) if k in p else s[k] for k in s}
+            out = {k: rec(s[k], p[k]) if k in p else s[k] for k in s}
+            for k in p:
+                if k not in s:
+                    # params-only entries the spec tree cannot know about:
+                    # lora_a/lora_b on unquantized leaves, the _tp_layout
+                    # marker — all tiny, replicate
+                    out[k] = (jax.tree.map(lambda _: P(), p[k])
+                              if isinstance(p[k], dict) else P())
+            return out
         return s
 
     return rec(specs, params)
