@@ -230,3 +230,36 @@ def test_bucketed_loader_dead_worker_raises(tmp_path, rng):
                 next(it)
     finally:
         loader.close()
+
+
+def test_proc_workers_get_distinct_rng_streams(tmp_path, rng):
+    """Every worker process rebuilds the dataset from the same factory (same
+    seed); _reseed_dataset must derive distinct per-worker streams so
+    augmentation/resolution draws don't repeat in lockstep across workers."""
+    from textflux_tpu.data.loader import _reseed_dataset
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    data = {"data_list": []}
+    name = "img_0.png"
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(img_root / name)
+    data["data_list"].append({
+        "img_name": name,
+        "annotations": [{"text": "w", "polygon": [[5, 5], [40, 5], [40, 20], [5, 20]]}],
+    })
+    jp = tmp_path / "d.json"
+    jp.write_text(json.dumps(data))
+
+    def make():
+        return AnyWordSingleLineDataset([(str(jp), str(img_root))],
+                                        resolutions=[128], seed=7)
+
+    a, b, c = make(), make(), make()
+    _reseed_dataset(a, 0)
+    _reseed_dataset(b, 1)
+    _reseed_dataset(c, 0)
+    sa = [a.rng.random() for _ in range(4)]
+    sb = [b.rng.random() for _ in range(4)]
+    sc = [c.rng.random() for _ in range(4)]
+    assert sa != sb          # different workers: different streams
+    assert sa == sc          # same worker id: deterministic

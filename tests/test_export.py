@@ -176,3 +176,72 @@ def test_guidance_embeds_mismatch_raises(tmp_path):
     no_guidance = dataclasses.replace(FLUX_TINY, guidance_embeds=False)
     with pytest.raises(ValueError, match="guidance_embeds"):
         load_flux_transformer(out, no_guidance, dtype=jnp.float32)
+
+
+def test_lora_export_mixed_rank_per_target_alpha(rng):
+    """Warm-started fused targets carry rank sum(r_m) != TrainConfig rank;
+    the exported per-target alpha must keep alpha_t/r_t == alpha/rank, or
+    consumers (peft, our own import) scale those deltas down by r_t/rank."""
+    import jax
+
+    from tests.helpers import FLUX_TINY as CFG
+
+    params = init_flux_params(jax.random.PRNGKey(2), CFG)
+    alpha, rank = 4.0, 4
+    lora = lora_init(jax.random.PRNGKey(3), params, CFG, rank)
+    # simulate a warm-started fused target at rank 12 (3 modules x rank 4)
+    d = CFG.hidden_dim
+    L = CFG.num_double_layers
+    d_in = lora["double"]["img_qkv"]["a"].shape[1]
+    lora["double"]["img_qkv"] = {
+        "a": np.asarray(rng.standard_normal((L, d_in, 12)), np.float32),
+        "b": np.asarray(rng.standard_normal((L, 12, 3 * d)), np.float32)}
+
+    sd = export_lora_state_dict(lora, CFG, alpha, rank=rank)
+    pre = "transformer.transformer_blocks.0.attn.to_q"
+    a = sd[f"{pre}.lora_A.weight"]                        # (12, in)
+    b = sd[f"{pre}.lora_B.weight"]                        # (d, 12)
+    alpha_t = float(sd[f"{pre}.alpha"])
+    assert alpha_t == alpha * (12 / rank)
+    # consumer semantics (alpha_t / r_t) * B@A == training (alpha/rank) * A@B
+    delta_consumer = (alpha_t / 12) * (b @ a)
+    A0 = np.asarray(lora["double"]["img_qkv"]["a"][0])
+    B0 = np.asarray(lora["double"]["img_qkv"]["b"][0][:, :d])
+    delta_train = (alpha / rank) * (A0 @ B0).T
+    np.testing.assert_allclose(delta_consumer, delta_train, atol=1e-5)
+    # uniform targets keep alpha_t == alpha
+    assert float(sd["transformer.transformer_blocks.0.attn.to_out.0.alpha"]) == alpha
+
+
+def test_lora_import_block_subset(rng):
+    """A LoRA trained on a block subset (layers missing from the sd) keeps
+    the covered layers' factors; uncovered layers get a fresh no-op init
+    (B=0, random A) instead of the whole target being discarded."""
+    import jax
+
+    from tests.helpers import FLUX_TINY as CFG
+    from textflux_tpu.io.lora import import_lora_factors
+
+    params = init_flux_params(jax.random.PRNGKey(2), CFG)
+    lora = lora_init(jax.random.PRNGKey(3), params, CFG, 3)
+    lora = jax.tree.map(lambda x: x + 0.1, lora)
+    sd = export_lora_state_dict(lora, CFG, 3.0, rank=3)
+    # drop every layer-1+ entry of the to_out target (block-subset LoRA)
+    subset = {k: v for k, v in sd.items()
+              if not (".attn.to_out.0." in k and "transformer_blocks.0." not in k)}
+    imported = import_lora_factors(subset, CFG, 1.0)
+    got = imported["double"]["img_proj"]
+    # layer 0 trained factors preserved (up to the folded alpha scale)
+    assert np.abs(got["b"][0]).max() > 0
+    # uncovered layers: B must be exactly zero (no-op), A nonzero (trainable)
+    assert np.abs(got["b"][1:]).max() == 0
+    assert np.abs(got["a"][1:]).max() > 0
+
+
+def test_fold_lora_unrecognized_format_raises():
+    from textflux_tpu.io.lora import fold_lora_into_state_dict
+
+    with pytest.raises(ValueError, match="unrecognized naming"):
+        fold_lora_into_state_dict(
+            {"x.weight": np.zeros((2, 2), np.float32)},
+            {"lora_unet_foo_lora_down.weight": np.zeros((2, 2), np.float32)})

@@ -125,3 +125,20 @@ def test_concat_and_crop_singleline(font):
     result = combined.resize((512, 576))
     cropped = crop_singleline_result(result, 512, sh)
     assert cropped.size == (512, 576 - int(576 * 80 / 592))
+
+
+def test_dataset_strip_is_binary_like_reference():
+    """The DATASET strip renderer must produce hard-binary pixels (reference
+    draws on a mode-'1' canvas, image_datasets/dataset.py:62); the inference
+    strip (draw_glyph_flexible) keeps RGB antialiasing (run_inference.py:123)."""
+    font = load_font()
+    strip = np.asarray(draw_glyph_strip(font, "Hello", 600, 100))
+    assert set(np.unique(strip)) <= {0, 255}
+    assert strip.max() == 255 and strip.min() == 0
+    flex = np.asarray(draw_glyph_flexible(font, "Hello", 600, 100))
+    assert len(np.unique(flex)) > 2  # antialiased edges
+
+
+def test_load_font_explicit_missing_path_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="font not found"):
+        load_font(str(tmp_path / "nope.ttf"))

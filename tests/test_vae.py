@@ -112,6 +112,12 @@ def test_tiled_decode_matches_full(oracle_vae, rng):
     err = np.abs(np.asarray(tiled) - np.asarray(full))
     assert np.median(err) < 0.15
     assert np.isfinite(np.asarray(tiled)).all()
+    # border rows/cols must be real content, not the zero-weight artifact
+    # (the blend window used to be exactly 0 at the canvas edges)
+    t = np.asarray(tiled)
+    for sl in (t[:, 0], t[:, -1], t[:, :, 0], t[:, :, -1]):
+        assert np.abs(sl).max() > 0.05, "zeroed border"
+    assert np.median(err[:, 0]) < 0.3 and np.median(err[:, -1]) < 0.3
 
 
 def test_tiled_decode_small_passthrough(oracle_vae, rng):
@@ -131,6 +137,18 @@ def test_tiled_encode_matches_full(oracle_vae, rng):
     err = np.abs(np.asarray(tiled) - np.asarray(full))
     assert np.median(err) < 0.2
     assert np.isfinite(np.asarray(tiled)).all()
+    t = np.asarray(tiled)
+    for sl in (t[:, 0], t[:, -1], t[:, :, 0], t[:, :, -1]):
+        assert np.abs(sl).max() > 0.05, "zeroed border"
+    assert np.median(err[:, 0]) < 0.4 and np.median(err[:, -1]) < 0.4
+    # sampled posterior: per-tile keys must not repeat the noise field
+    s = np.asarray(V.vae_encode_tiled(params, TINY, img, tile=12, overlap=4,
+                                      key=jax.random.PRNGKey(0)))
+    m = np.asarray(tiled)
+    noise = s - m
+    # compare two single-cover tile interiors: identical noise would make
+    # their difference ~0
+    assert np.abs(noise[:, 1:5, 1:5] - noise[:, 1:5, -5:-1]).max() > 1e-4
 
 
 def test_tiled_encode_small_passthrough(oracle_vae, rng):

@@ -435,7 +435,8 @@ def main(argv=None):
 
         # final artifact in diffusers layout
         if args.mode == "lora":
-            sd = export_lora_state_dict(state["lora"], flux_cfg, tc.lora_alpha)
+            sd = export_lora_state_dict(state["lora"], flux_cfg, tc.lora_alpha,
+                                        rank=tc.lora_rank)
             save_safetensors(sd, os.path.join(args.output_dir,
                                               "pytorch_lora_weights.safetensors"))
         else:

@@ -30,13 +30,27 @@ import numpy as np
 _SKIP = "__textflux_skip__"
 
 
-def _proc_worker(factory, idx_q, sample_q):
+def _reseed_dataset(ds, worker_id: int) -> None:
+    """Per-worker RNG derivation: every worker rebuilds the dataset from the
+    same factory (same seed), so without this all workers draw IDENTICAL
+    augmentation/resolution/annotation sequences in lockstep and samples
+    arrive in correlated waves (the torch analogue is per-worker seeding in
+    worker_init_fn)."""
+    rng = getattr(ds, "rng", None)
+    if rng is not None:
+        rng.seed((rng.getrandbits(64) << 8) ^ (worker_id + 1))
+    for child in getattr(ds, "datasets", ()):
+        _reseed_dataset(child, worker_id)
+
+
+def _proc_worker(factory, idx_q, sample_q, worker_id: int = 0):
     """Worker-process loop: build the dataset ONCE locally, then stream
     samples back forever (persistent across epochs — spawn + font load are
     paid once, not per epoch). Top-level (spawn-picklable); exits on the
     None sentinel or with the parent (daemon). Every index gets exactly one
     reply (sample or skip marker) so the parent can count an epoch out."""
     ds = factory()
+    _reseed_dataset(ds, worker_id)
     while True:
         i = idx_q.get()
         if i is None:
@@ -98,9 +112,9 @@ class BucketedLoader:
             sample_q = ctx.Queue(
                 maxsize=self.prefetch * self.samples_per_batch * 2)
             procs = [ctx.Process(target=_proc_worker,
-                                 args=(self.dataset_factory, idx_q, sample_q),
+                                 args=(self.dataset_factory, idx_q, sample_q, wid),
                                  daemon=True)
-                     for _ in range(self.num_procs)]
+                     for wid in range(self.num_procs)]
             for p in procs:
                 p.start()
             self._pool = (idx_q, sample_q, procs)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -43,6 +43,13 @@ def _split_lin(p, i: int, sizes):
 
 def export_flux_state_dict(params, cfg) -> Dict[str, np.ndarray]:
     """Our param pytree -> diffusers FluxTransformer2DModel state dict (numpy)."""
+    import jax
+
+    # ONE device->host transfer per stacked leaf up front: the per-layer
+    # _np(...)[i] slices below would otherwise re-copy the full stacked
+    # tensor from device for every layer x projection (~150 copies of the
+    # ~10 GB linear1 stack on a 12B export)
+    params = jax.tree.map(np.asarray, params)
     d = cfg.hidden_dim
     sd: Dict[str, np.ndarray] = {}
     _put_lin(sd, "x_embedder", params["img_in"])
@@ -94,13 +101,25 @@ def export_flux_state_dict(params, cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
-def export_lora_state_dict(lora, cfg, alpha: float) -> Dict[str, np.ndarray]:
+def export_lora_state_dict(lora, cfg, alpha: float,
+                           rank: Optional[int] = None) -> Dict[str, np.ndarray]:
     """LoRA factor tree -> diffusers/peft naming.
 
     Fused targets export per-projection by slicing the B factor columns
     (delta = A @ B, so column slices of B give per-projection deltas with a
     shared A).
-    """
+
+    ``rank``: the TrainConfig rank the uniform train-time scale alpha/rank
+    was computed with. Warm-started fused targets can carry a DIFFERENT
+    per-target rank r_t (import_lora_factors rebuilds them at sum of the
+    sub-module ranks); consumers recover the scale as alpha_t/r_t from the
+    tensor shapes, so each target's alpha must be (alpha/rank)*r_t — a
+    single global alpha silently shrank warm-started qkv deltas 3x. With
+    rank=None every target's own rank is used (alpha_t = alpha only when
+    uniform, the pre-warm-start behavior)."""
+    import jax
+
+    lora = jax.tree.map(np.asarray, lora)   # one device->host copy per leaf
     d, m = cfg.hidden_dim, cfg.mlp_dim
     sd: Dict[str, np.ndarray] = {}
 
@@ -125,13 +144,15 @@ def export_lora_state_dict(lora, cfg, alpha: float) -> Dict[str, np.ndarray]:
                 continue
             a = _np(factors[key]["a"])  # (L, in, r)
             b = _np(factors[key]["b"])  # (L, r, out)
+            r_t = a.shape[-1]
+            alpha_t = alpha if rank is None else alpha * (r_t / rank)
             for i in range(n_layers):
                 start = 0
                 for target, size in targets:
                     mod = f"{prefix}.{i}.{target}"
                     sd[f"transformer.{mod}.lora_A.weight"] = a[i].T            # (r, in)
                     sd[f"transformer.{mod}.lora_B.weight"] = b[i, :, start:start + size].T  # (out_slice, r)
-                    sd[f"transformer.{mod}.alpha"] = np.float32(alpha)
+                    sd[f"transformer.{mod}.alpha"] = np.float32(alpha_t)
                     start += size
 
     emit("transformer_blocks", lora.get("double", {}), cfg.num_double_layers, name_map_double)

@@ -40,6 +40,15 @@ def fold_lora_into_state_dict(
     for k in lora_sd:
         if k.endswith("lora_A.weight"):
             modules.add(k[: -len(".lora_A.weight")])
+    if lora_sd and not modules:
+        # e.g. a kohya-format file ('lora_unet_..._lora_down.weight') or a
+        # peft adapter-name infix — silently serving the base model as if
+        # the fine-tune loaded is the worst failure mode
+        sample = sorted(lora_sd)[:3]
+        raise ValueError(
+            "no '<module>.lora_A.weight' keys found in the LoRA file — "
+            f"unrecognized naming scheme (sample keys: {sample}); expected "
+            "the diffusers/peft pytorch_lora_weights.safetensors format")
     for mod in sorted(modules):
         a = np.asarray(lora_sd[f"{mod}.lora_A.weight"], np.float32)   # (r, in)
         b = np.asarray(lora_sd[f"{mod}.lora_B.weight"], np.float32)   # (out, r)
@@ -135,8 +144,8 @@ def import_lora_factors(
                         b_specs.append(None)
                         d_outs.append(None)
                 if all(x is None for x in a_parts):
-                    per_layer = None
-                    break                                  # target not in sd
+                    per_layer.append(None)  # layer not in sd: zero-fill below
+                    continue
                 if any(x is None for x in a_parts):
                     raise ValueError(
                         f"LoRA sd covers only some sub-modules of fused "
@@ -150,11 +159,26 @@ def import_lora_factors(
                     r_off += bs.shape[0]
                     col += dout
                 per_layer.append((a_cat, b_cat))
-            if per_layer is None:
-                continue
-            ranks = {a.shape[1] for a, _ in per_layer}
+            present = [x for x in per_layer if x is not None]
+            if not present:
+                continue                                   # target not in sd
+            ranks = {a.shape[1] for a, _ in present}
             if len(ranks) != 1:
                 raise ValueError(f"rank differs across layers for {target}: {ranks}")
+            # layers absent from the sd (block-subset LoRAs, e.g. peft
+            # target_modules limited to blocks 0-9) get a FRESH init — B=0
+            # (no-op delta) with a random A like lora_init (A=B=0 would
+            # zero both gradients and freeze the layer) — instead of
+            # discarding the whole target, which silently threw away the
+            # covered layers' trained weights
+            a0, b0 = present[0]
+            rng = np.random.default_rng(0)
+
+            def fresh():
+                return (rng.standard_normal(a0.shape).astype(np.float32)
+                        / a0.shape[1], np.zeros_like(b0))
+
+            per_layer = [x if x is not None else fresh() for x in per_layer]
             out[target] = {"a": np.stack([a for a, _ in per_layer]),
                            "b": np.stack([b for _, b in per_layer])}
         return out

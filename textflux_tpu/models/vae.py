@@ -214,7 +214,11 @@ def vae_encode_tiled(
     out = jnp.zeros((b, h, w, cfg.latent_channels), jnp.float32)
     weight = jnp.zeros((h, w, 1), jnp.float32)
 
-    ramp = jnp.minimum(jnp.arange(tile, dtype=jnp.float32) / overlap, 1.0)
+    # +1: the ramp must stay strictly positive at the tile ends — a 0 end
+    # weight zeroed the canvas border rows/cols (sole-covering tile x weight
+    # 0 -> output 0). Normalization by the weight sum makes single-cover
+    # regions exact for ANY positive weight; overlaps blend linearly.
+    ramp = jnp.minimum((jnp.arange(tile, dtype=jnp.float32) + 1.0) / overlap, 1.0)
     win1d = jnp.minimum(ramp, ramp[::-1])
     win = jnp.minimum(win1d[:, None], win1d[None, :])[..., None]
 
@@ -224,12 +228,16 @@ def vae_encode_tiled(
         ys.append(h - tile)
     if xs[-1] + tile < w:
         xs.append(w - tile)
-    for y in ys:
-        for x in xs:
+    for i, y in enumerate(ys):
+        for j, x in enumerate(xs):
             ty, tx = min(tile, h), min(tile, w)
             pix = jax.lax.dynamic_slice(
                 images, (0, y * f, x * f, 0), (b, ty * f, tx * f, images.shape[-1]))
-            z = vae_encode(params, cfg, pix, key=key, scale=scale).astype(jnp.float32)
+            # per-tile posterior keys: one key for every tile would repeat
+            # the same noise field with the tile stride
+            tkey = None if key is None else jax.random.fold_in(
+                key, i * len(xs) + j)
+            z = vae_encode(params, cfg, pix, key=tkey, scale=scale).astype(jnp.float32)
             tile_win = win[:ty, :tx]
             out = jax.lax.dynamic_update_slice(
                 out, jax.lax.dynamic_slice(out, (0, y, x, 0), (b, ty, tx, cfg.latent_channels))
@@ -255,7 +263,9 @@ def vae_decode_tiled(
     out = jnp.zeros((b, h * f, w * f, cfg.out_channels), jnp.float32)
     weight = jnp.zeros((h * f, w * f, 1), jnp.float32)
 
-    ramp = jnp.minimum(jnp.arange(tile * f, dtype=jnp.float32) / (overlap * f), 1.0)
+    # +1 keeps the end weights positive — see vae_encode_tiled
+    ramp = jnp.minimum((jnp.arange(tile * f, dtype=jnp.float32) + 1.0)
+                       / (overlap * f), 1.0)
     win1d = jnp.minimum(ramp, ramp[::-1])
     win = jnp.minimum(win1d[:, None], win1d[None, :])[..., None]
 

@@ -32,6 +32,10 @@ DEFAULT_FONT_CANDIDATES = (
 
 
 def load_font(path: Optional[str] = None, size: int = 60) -> ImageFont.FreeTypeFont:
+    if path is not None and not os.path.exists(path):
+        # an explicitly requested font silently falling back to DejaVu would
+        # train/serve with wrong glyph metrics and no indication anywhere
+        raise FileNotFoundError(f"font not found: {path}")
     candidates = ([path] if path else []) + list(DEFAULT_FONT_CANDIDATES)
     for cand in candidates:
         if cand and os.path.exists(cand):
@@ -77,12 +81,18 @@ def draw_glyph_strip(
     font, text: str, width: int, height: int, max_font_size: int = 140,
 ) -> Image.Image:
     """Dataset/beta variant: strip height clamps to min(width//6, height) and
-    the caps step 140 -> 180 (>1280px) -> 280 (>2048px)."""
+    the caps step 140 -> 180 (>1280px) -> 280 (>2048px).
+
+    Renders on a mode-'1' canvas like the reference DATASET renderer
+    (image_datasets/dataset.py:62): hard-binary glyph edges, no antialiasing
+    — the conditioning pixel distribution the published models trained on.
+    (The inference-side strips — run_inference.py:123, demo_beta.py:186 —
+    are RGB with antialiasing: draw_glyph_flexible above.)"""
     width = max(width, 1)
     height = min(width // 6, height)
-    img = Image.new("RGB", (width, height), "black")
     if not text or not text.strip():
-        return img
+        return Image.new("RGB", (width, height), "black")
+    img = Image.new("1", (width, height), 0)
     if width > 2048:
         max_font_size = 280
     elif width > 1280:
@@ -93,8 +103,8 @@ def draw_glyph_strip(
     except Exception:
         final_font = font
     ImageDraw.Draw(img).text((width / 2, height / 2), text, font=final_font,
-                             fill="white", anchor="mm")
-    return img
+                             fill=1, anchor="mm")
+    return img.convert("RGB")
 
 
 def draw_glyph_beta(
