@@ -34,7 +34,16 @@ def load_recognizer(spec: str):
     return getattr(module, attr or "recognize")
 
 
-def evaluate_directory(images_dir: str, json_path: str, recognizer) -> dict:
+def load_charset(path: str) -> dict:
+    """ppocr_keys-format dict (one char per line) -> char2id mapping for the
+    reference's char-ID NED protocol (eval_dgocr.py:291-293)."""
+    with open(path, encoding="utf-8") as f:
+        chars = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+    return {c: i for i, c in enumerate(chars)}
+
+
+def evaluate_directory(images_dir: str, json_path: str, recognizer,
+                       char2id=None) -> dict:
     with open(json_path, encoding="utf-8") as f:
         data = json.load(f)
 
@@ -55,7 +64,7 @@ def evaluate_directory(images_dir: str, json_path: str, recognizer) -> dict:
             preds.append("")
         gts.append(anns[0]["text"].strip())
 
-    metrics = evaluate_texts(preds, gts)
+    metrics = evaluate_texts(preds, gts, char2id)
     metrics["skipped"] = skipped
     return metrics
 
@@ -66,11 +75,17 @@ def main():
     p.add_argument("--json-path", required=True)
     p.add_argument("--recognizer", required=True,
                    help="dotted path module:callable mapping crop->text")
+    p.add_argument("--charset", default=None,
+                   help="recognizer char-dict txt (ppocr_keys format): NED "
+                        "then runs over char IDs with OOV collapsed, the "
+                        "reference protocol (eval_dgocr.py:291-293)")
     p.add_argument("--report", default=None)
     args = p.parse_args()
 
     recognizer = load_recognizer(args.recognizer)
-    metrics = evaluate_directory(args.images_dir, args.json_path, recognizer)
+    char2id = load_charset(args.charset) if args.charset else None
+    metrics = evaluate_directory(args.images_dir, args.json_path, recognizer,
+                                 char2id)
     print(json.dumps(metrics, ensure_ascii=False))
     if args.report:
         with open(args.report, "w") as f:

@@ -28,15 +28,13 @@ def min_bounding_rect(mask: np.ndarray) -> np.ndarray:
     contour = max(contours, key=cv2.contourArea)
     box = cv2.boxPoints(cv2.minAreaRect(contour))
 
-    # order corners: sum smallest = tl, largest = br; diff for tr/bl
-    s = box.sum(axis=1)
-    d = np.diff(box, axis=1).ravel()
-    ordered = np.zeros((4, 2), np.float32)
-    ordered[0] = box[np.argmin(s)]
-    ordered[2] = box[np.argmax(s)]
-    ordered[1] = box[np.argmin(d)]
-    ordered[3] = box[np.argmax(d)]
-    return ordered
+    # order corners by x-sort then y-sort (reference recognizer.py:29-41);
+    # the common sum/diff trick degenerates on ~45-degree rects (two
+    # corners tie on the sum and the homography goes singular)
+    x_sorted = sorted(box, key=lambda p: p[0])
+    (tl, bl) = sorted(x_sorted[:2], key=lambda p: p[1])
+    (tr, br) = sorted(x_sorted[2:], key=lambda p: p[1])
+    return np.array([tl, tr, br, bl], np.float32)
 
 
 def crop_polygon_region(
@@ -62,9 +60,15 @@ def crop_polygon_region(
     width = int(max(np.linalg.norm(tr - tl), np.linalg.norm(br - bl)))
     height = int(max(np.linalg.norm(bl - tl), np.linalg.norm(br - tr)))
     width, height = max(width, 1), max(height, 1)
-    if height > width * 1.5:  # vertical text: rotate to horizontal
+    if height > width * 1.2:
+        # vertical text -> horizontal, rotating 90 deg COUNTER-clockwise and
+        # at the reference threshold (eval_dgocr.py:207-208:
+        # transpose(1,2).flip(dims=[1]) when h > w*1.2 == np.rot90 k=1).
+        # CCW maps the source TOP-RIGHT corner to the new top-left, i.e.
+        # roll the (tl,tr,br,bl) ring by -1; the old roll(+1) rotated
+        # CLOCKWISE — 180 deg off the reference, upside-down glyphs
         width, height = height, width
-        corners = np.roll(corners, 1, axis=0)
+        corners = np.roll(corners, -1, axis=0)
 
     dst = np.array([[0, 0], [width - 1, 0], [width - 1, height - 1], [0, height - 1]],
                    np.float32)

@@ -17,6 +17,12 @@ import numpy as np
 
 def gaussian_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(mean, covariance) of an (N, D) feature matrix."""
+    features = np.atleast_2d(features)
+    if features.shape[0] < 2:
+        # np.cov's ddof=1 divides by N-1: one sample silently yields an
+        # all-NaN covariance and FID: nan downstream
+        raise ValueError(
+            f"FID statistics need >= 2 samples, got {features.shape[0]}")
     mu = features.mean(axis=0)
     sigma = np.cov(features, rowvar=False)
     return mu, np.atleast_2d(sigma)
@@ -37,8 +43,8 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     diff = mu1 - mu2
 
     offset = np.eye(sigma1.shape[0]) * eps
-    covmean = _sqrtm_psd(_sqrtm_psd(sigma1 + offset) @ (sigma2 + offset)
-                         @ _sqrtm_psd(sigma1 + offset))
+    s1h = _sqrtm_psd(sigma1 + offset)   # one eigh of the 2048x2048, not two
+    covmean = _sqrtm_psd(s1h @ (sigma2 + offset) @ s1h)
     # sqrt(S1 S2) trace via the symmetric similarity transform above
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
 

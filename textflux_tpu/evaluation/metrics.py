@@ -1,16 +1,20 @@
 """OCR text metrics: SeqAcc (exact match) and NED.
 
-Definitions match the reference harness (eval/eval_dgocr.py:194-196,294-295):
-  SeqAcc = mean(pred == gt)
-  NED    = mean(1 - levenshtein(pred, gt) / max(len(pred), len(gt)))
+Definitions match the reference harness (eval/eval_dgocr.py:194-196,291-295):
+  SeqAcc = mean(pred == gt)                      (raw strings)
+  NED    = mean(1 - levenshtein(seq(pred), seq(gt)) / (maxlen + 1e-5))
+where seq() maps characters to recognizer-dictionary IDs with every
+out-of-dictionary character collapsed onto the LAST dict id (the reference's
+char2id.get(m, len(chars)-1)). Without a char2id, raw characters compare
+directly — identical except on OOV-containing text.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 
-def levenshtein(a: str, b: str) -> int:
+def levenshtein(a: Sequence, b: Sequence) -> int:
     """Edit distance, O(len(a) * len(b)) single-row DP."""
     if a == b:
         return 0
@@ -27,23 +31,31 @@ def levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def normalized_edit_distance(pred: str, gt: str) -> float:
+def normalized_edit_distance(pred: str, gt: str,
+                             char2id: Optional[Mapping[str, int]] = None) -> float:
+    if char2id is not None:
+        oov = len(char2id) - 1   # reference: char2id.get(m, len(chars)-1)
+        pred = tuple(char2id.get(c, oov) for c in pred)
+        gt = tuple(char2id.get(c, oov) for c in gt)
     if not pred and not gt:
         return 1.0
-    return 1.0 - levenshtein(pred, gt) / max(len(pred), len(gt))
+    # the +1e-5 denominator is the reference's get_ld (eval_dgocr.py:194-196)
+    return 1.0 - levenshtein(pred, gt) / (max(len(pred), len(gt)) + 1e-5)
 
 
 def sequence_accuracy(pred: str, gt: str) -> float:
     return float(pred == gt)
 
 
-def evaluate_texts(preds: Sequence[str], gts: Sequence[str]) -> Dict[str, float]:
-    """Corpus-level SeqAcc / NED over aligned prediction/ground-truth pairs."""
+def evaluate_texts(preds: Sequence[str], gts: Sequence[str],
+                   char2id: Optional[Mapping[str, int]] = None) -> Dict[str, float]:
+    """Corpus-level SeqAcc / NED over aligned prediction/ground-truth pairs.
+    char2id: recognizer dictionary for the reference's char-ID NED protocol."""
     if len(preds) != len(gts):
         raise ValueError(f"{len(preds)} predictions vs {len(gts)} ground truths")
     if not preds:
         return {"seq_acc": 0.0, "ned": 0.0, "count": 0}
     seq = sum(sequence_accuracy(p, g) for p, g in zip(preds, gts))
-    ned = sum(normalized_edit_distance(p, g) for p, g in zip(preds, gts))
+    ned = sum(normalized_edit_distance(p, g, char2id) for p, g in zip(preds, gts))
     n = len(preds)
     return {"seq_acc": seq / n, "ned": ned / n, "count": n}

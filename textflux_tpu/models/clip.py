@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from textflux_tpu.config import CLIPTextConfig
 from textflux_tpu.models.layers import dense, dense_init, quick_gelu
-from textflux_tpu.ops.attention import dot_product_attention
 
 
 def _affine_ln(x: jnp.ndarray, p, eps: float) -> jnp.ndarray:

@@ -14,13 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from textflux_tpu.config import T5Config
-from textflux_tpu.models.layers import dense, dense_init, gelu_tanh
-
-
-def _rms(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale.astype(x.dtype)
+from textflux_tpu.models.layers import dense, dense_init, gelu_tanh, rms_norm as _rms
 
 
 def _layer_init(key: jax.Array, cfg: T5Config):
