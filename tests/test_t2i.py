@@ -56,3 +56,23 @@ def test_find_render_token_windows():
     for w, s, e in windows:
         ids = [ord(c) % 97 for c in prompt]
         assert ids[s:e] == [ord(c) % 97 for c in w]
+
+
+def test_t2i_overshoot_sampler_runs():
+    """The t2i path used to build step keys without the batch axis, crashing
+    the overshoot sampler's per-sample vmap; it now delegates to the fill
+    pipeline's _run_denoise."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    pipe = Text2ImagePipeline(
+        flux_params=init_flux_params(ks[0], T2I_TINY), flux_cfg=T2I_TINY,
+        vae_params=V.init_vae_params(ks[1], VAE_TINY), vae_cfg=VAE_TINY,
+        clip_params=init_clip_params(ks[2], CLIP_TINY), clip_cfg=CLIP_TINY,
+        t5_params=init_t5_params(ks[3], T5_TINY), t5_cfg=T5_TINY,
+        clip_tokenize=dummy_clip_tokenize, t5_tokenize=dummy_t5_tokenize,
+        pipe_cfg=PipelineConfig(num_inference_steps=2, guidance_scale=3.5),
+        attn_impl="xla")
+    out = pipe(prompt="the image", num_inference_steps=3, height=32, width=48,
+               sampler="overshoot", overshoot_c=1.5, seed=1,
+               dtype=jnp.float32, output_type="np")
+    assert out.shape == (1, 32, 48, 3)
+    assert np.isfinite(out).all()

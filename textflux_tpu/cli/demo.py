@@ -35,8 +35,9 @@ from textflux_tpu.rendering import (
 
 
 def _snap32(img: Image.Image) -> Image.Image:
-    w, h = img.size
-    return img.resize(((w // 32) * 32, (h // 32) * 32))
+    from textflux_tpu.pipeline.image_processor import snap_to_multiple
+
+    return img.resize(snap_to_multiple(*img.size))
 
 
 def _run_pipe(pipe, image, mask, words, steps, guidance, seed, sampler="overshoot",
@@ -78,7 +79,9 @@ def demo_normal(pipe, combined: Image.Image, combined_mask: Image.Image,
 def _stacked_strips(original: Image.Image, words: List[str], font) -> Image.Image:
     """Beta multi-line: one strip per line, each min(w//6, h/num_texts) tall."""
     w, h = original.size
-    strip_h = int(min(w // 6, h / max(len(words), 1)))
+    # reference clamps to >=1 (demo_beta.py:281-282): many lines on a short
+    # image would otherwise yield zero-height strips = no glyph conditioning
+    strip_h = max(1, int(min(w // 6, h / max(len(words), 1))))
     strips = [
         np.array(draw_glyph_beta(font, t, w, strip_h).convert("RGB"))
         for t in words

@@ -62,8 +62,10 @@ def run(pipe, image_path, mask_path, words_path, *, steps=30, guidance_scale=30.
     combined, combined_mask, crop_fn, rendered = render_conditioning(original, mask, words, font)
 
     # snap to //32 like the reference (run_inference.py:65-69)
+    from textflux_tpu.pipeline.image_processor import snap_to_multiple
+
     w, h = combined.size
-    new_w, new_h = (w // 32) * 32, (h // 32) * 32
+    new_w, new_h = snap_to_multiple(w, h)
     combined = combined.resize((new_w, new_h))
     combined_mask = combined_mask.resize((new_w, new_h))
 

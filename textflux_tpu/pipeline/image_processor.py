@@ -26,7 +26,14 @@ def to_pil(image: ImageLike) -> Image.Image:
         return image
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
+        if arr.min() < 0.0:
+            # pipeline outputs (output_type="np") are [-1, 1]; clipping them
+            # to [0, 1] would crush the whole negative half to black when an
+            # output is fed back in for iterative editing
+            arr = (arr + 1.0) / 2.0
         arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    if arr.ndim == 4 and arr.shape[0] == 1:
+        arr = arr[0]
     return Image.fromarray(arr)
 
 

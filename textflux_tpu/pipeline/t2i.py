@@ -16,9 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from textflux_tpu.config import FluxConfig, PipelineConfig, VAEConfig
-from textflux_tpu.models.transformer import flux_apply
-from textflux_tpu.models.vae import vae_decode
-from textflux_tpu.ops import packing, samplers
 from textflux_tpu.pipeline import image_processor as improc
 
 
@@ -45,7 +42,8 @@ class Text2ImagePipeline:
                  height: int = 512, width: int = 512,
                  num_inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None, seed: int = 0,
-                 sampler: Optional[str] = None, dtype=jnp.bfloat16,
+                 sampler: Optional[str] = None, overshoot_c: Optional[float] = None,
+                 seq_pad_multiple: Optional[int] = None, dtype=jnp.bfloat16,
                  text_embeds=None, output_type: str = "pil"):
         f = self._fill
         cfgp = f.pipe_cfg
@@ -72,20 +70,18 @@ class Text2ImagePipeline:
             key_noise, (b, t_img, f.vae_cfg.latent_channels * 4), jnp.float32).astype(dtype)
         cond = jnp.zeros((b, t_img, 0), dtype)   # t2i: no conditioning channels
 
-        ids = np.concatenate(
-            [packing.text_ids(t_txt), packing.latent_image_ids(lat_h, lat_w)], axis=0)
-        cos, sin = f._rope_tables(ids)
-        sigmas = samplers.make_schedule(
-            steps, t_img, base_seq_len=cfgp.base_image_seq_len,
-            max_seq_len=cfgp.max_image_seq_len,
-            base_shift=cfgp.base_shift, max_shift=cfgp.max_shift)
-        guidance = (jnp.full((b,), guidance_scale, jnp.float32)
-                    if f.flux_cfg.guidance_embeds else None)
-
-        latents = f._denoise(
-            f.flux_params, latents, cond, txt, pooled, jnp.asarray(sigmas), guidance,
-            jnp.asarray(cos), jnp.asarray(sin), jax.random.split(key_steps, steps),
-            sampler, float(cfgp.overshoot_c))
+        # the denoise tail is the FILL pipeline's, not a re-implementation:
+        # an earlier local copy drifted (step keys missing the batch axis
+        # crashed the overshoot sampler's per-sample vmap)
+        step_keys = jax.vmap(lambda k: jax.random.split(k, b))(
+            jax.random.split(key_steps, steps))          # (steps, B, 2)
+        latents = f._run_denoise(
+            latents, cond, txt, pooled, step_keys,
+            t_img=t_img, lat_h=lat_h, lat_w=lat_w, steps=steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+            overshoot_c=(cfgp.overshoot_c if overshoot_c is None
+                         else overshoot_c),
+            seq_pad_multiple=seq_pad_multiple)
         if output_type == "latent":
             return latents
         images = f._decode(f.vae_params, latents, lat_h, lat_w)

@@ -27,8 +27,10 @@ def extract_mask(original: Image.Image, drawn, threshold: int = 30) -> Image.Ima
         if drawn.get("mask") is not None:
             arr = np.array(drawn["mask"]).astype(np.uint8)
             if arr.ndim == 3:
-                arr = arr.mean(axis=-1).astype(np.uint8) if cv2 is None else \
-                    cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+                # only the COLOR channels: averaging an RGBA sketch's opaque
+                # alpha (255) into the mean marks the whole canvas as mask
+                arr = arr[..., :3].mean(axis=-1).astype(np.uint8) if cv2 is None \
+                    else cv2.cvtColor(arr[..., :3], cv2.COLOR_RGB2GRAY)
             binary = np.where(arr > 50, 255, 0).astype(np.uint8)
             return Image.fromarray(binary).convert("RGB")
         drawn = 255 - np.array(drawn["image"]).astype(np.uint8)
