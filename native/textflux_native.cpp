@@ -57,13 +57,16 @@ static void morph3x3(uint8_t* mask, int height, int width, int iterations,
   for (int it = 0; it < iterations; ++it) {
     for (int y = 0; y < height; ++y) {
       for (int x = 0; x < width; ++x) {
+        // cv2 border semantics (morphologyDefaultBorderValue): out-of-bounds
+        // neighbors are +inf for erode and -inf for dilate, i.e. SKIPPED for
+        // both — treating them as 0 eroded away every border-touching mask
         uint8_t m = dilate ? 0 : 255;
         for (int dy = -1; dy <= 1; ++dy) {
           int yy = y + dy;
-          if (yy < 0 || yy >= height) { if (!dilate) m = 0; continue; }
+          if (yy < 0 || yy >= height) continue;
           for (int dx = -1; dx <= 1; ++dx) {
             int xx = x + dx;
-            if (xx < 0 || xx >= width) { if (!dilate) m = 0; continue; }
+            if (xx < 0 || xx >= width) continue;
             uint8_t v = mask[(size_t)yy * width + xx];
             m = dilate ? std::max(m, v) : std::min(m, v);
           }

@@ -38,6 +38,17 @@ def test_morphology_matches_cv2(lib, rng):
     np.testing.assert_array_equal(
         native.erode(mask.copy(), 1), cv2.erode(mask, kernel, iterations=1))
 
+    # border semantics: a mask touching the image edge must NOT erode away
+    # (cv2 treats out-of-bounds as +inf for erode; the old kernel used 0 and
+    # zeroed every border-touching region)
+    border = np.zeros((10, 10), np.uint8)
+    border[:4, :4] = 255
+    np.testing.assert_array_equal(
+        native.erode(border.copy(), 1), cv2.erode(border, kernel, iterations=1))
+    assert native.erode(border.copy(), 1)[0, 0] == 255
+    np.testing.assert_array_equal(
+        native.dilate(border.copy(), 1), cv2.dilate(border, kernel, iterations=1))
+
 
 def test_normalize(lib, rng):
     img = rng.integers(0, 255, (32, 32, 3), np.uint8)

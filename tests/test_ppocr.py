@@ -96,3 +96,43 @@ def test_recognizer_callable(rng):
     crop = rng.integers(0, 255, (48, 96, 3), np.uint8)
     out = rec(crop)
     assert isinstance(out, str)
+
+
+def test_conv1_stride2_padding_parity(oracle_rec, rng):
+    """Stride-2 conv over an even input: torch pads symmetrically (k//2);
+    XLA "SAME" resolves to a (0,1)-style asymmetric pad that shifts every
+    window (measured maxdiff 0.98 here before the fix). The full-model
+    parity test is blind to this — random-init activations contract ~10x
+    per block — so this stage-level check pins it."""
+    import torch
+
+    from textflux_tpu.evaluation.ppocr import _conv_bn
+
+    cfg = PPOCRConfig(n_class=97)
+    sd = {k: v.detach().numpy() for k, v in oracle_rec.state_dict().items()}
+    params = convert_ppocr_state_dict(sd, cfg)
+
+    x = rng.standard_normal((1, 3, 48, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle_rec.backbone.conv1(torch.from_numpy(x)).numpy()
+    ours = _conv_bn(params["backbone"]["conv1"],
+                    jnp.asarray(x.transpose(0, 2, 3, 1)), stride=(2, 2))
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_resize_align_corners_matches_torch(torch_oracle, rng):
+    """preprocess_crop's resize must be torch F.interpolate(bilinear,
+    align_corners=True) — the reference pre_process — not PIL's antialiased
+    half-pixel bilinear."""
+    import torch
+    import torch.nn.functional as F
+
+    from textflux_tpu.evaluation.ppocr import _resize_bilinear_align_corners
+
+    img = (rng.random((30, 100, 3)) * 255).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(img.transpose(2, 0, 1))[None],
+                        size=(48, 160), mode="bilinear",
+                        align_corners=True)[0].numpy().transpose(1, 2, 0)
+    got = _resize_bilinear_align_corners(img, 48, 160)
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)

@@ -46,16 +46,17 @@ def test_t2i_generates():
 
 def test_find_render_token_windows():
     def tokenize(text):
-        # toy tokenizer: one id per character
-        return np.array([[ord(c) % 97 for c in text]])
+        # toy tokenizer: one id per character (+2 keeps 0 free for padding)
+        return np.array([[ord(c) % 97 + 2 for c in text]])
 
     prompt = words_prompt(["cat", "dog"])
     windows = find_render_token_windows(tokenize, prompt)
     words = [w for w, _, _ in windows]
     assert "cat" in words and "dog" in words
+    ids = [ord(c) % 97 + 2 for c in prompt]
     for w, s, e in windows:
-        ids = [ord(c) % 97 for c in prompt]
-        assert ids[s:e] == [ord(c) % 97 for c in w]
+        # per-char tokenizer: span ids [', c,a,t, '] -> needle [c,a,t]
+        assert ids[s:e] == [ord(c) % 97 + 2 for c in w]
 
 
 def test_t2i_overshoot_sampler_runs():
@@ -76,3 +77,33 @@ def test_t2i_overshoot_sampler_runs():
                dtype=jnp.float32, output_type="np")
     assert out.shape == (1, 32, 48, 3)
     assert np.isfinite(out).all()
+
+
+def test_find_render_token_windows_spm_like():
+    """SentencePiece-like tokenizer: the bare word starts with a word-initial
+    piece that never occurs after the opening quote, so the OLD bare-word
+    needle silently matched nothing; the reference-faithful quoted-span
+    needle (ids[1:first_pad-1]) matches."""
+    def tok(text):
+        ids, prev_space = [], True
+        for c in text:
+            if c == " ":
+                prev_space = True
+                continue
+            ids.append(ord(c) + (1000 if prev_space else 0))
+            prev_space = False
+        ids.append(1)           # </s>
+        ids.extend([0] * 4)     # pad
+        return np.array([ids])
+
+    prompt = "an image with the words 'cat', nice"
+    windows = find_render_token_windows(tok, prompt)
+    assert len(windows) == 1
+    word, s, e = windows[0]
+    assert word == "cat"
+    full = [int(t) for t in tok(prompt).ravel()]
+    assert full[s:e] == [ord("c"), ord("a"), ord("t"), ord("'")]
+
+    with pytest.raises(ValueError, match="no token window"):
+        find_render_token_windows(tok, "the words 'cat' end",
+                                  max_length=3)  # needle past the window

@@ -51,9 +51,16 @@ def _swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-def _conv(p, x, *, stride=(1, 1), groups=1, padding="SAME"):
+def _conv(p, x, *, stride=(1, 1), groups=1):
+    # torch-parity padding: torch pads SYMMETRICALLY by k//2, but XLA's
+    # "SAME" on a stride-2 conv over even inputs resolves to (0,1)-style
+    # asymmetric pads — every strided stage's windows shift one row/col and
+    # recognizer outputs diverge from the reference (measured maxdiff 0.98
+    # on conv1 with converted weights)
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
     return jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=stride, padding=padding,
+        x, p["w"], window_strides=stride,
+        padding=[(kh // 2, kh // 2), (kw // 2, kw // 2)],
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
@@ -198,17 +205,35 @@ def load_charset(path: str) -> List[str]:
     return ["sos"] + chars + [" "]
 
 
+def _resize_bilinear_align_corners(img: np.ndarray, out_h: int,
+                                   out_w: int) -> np.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=True) semantics:
+    corner-aligned sampling grid, NO antialias filter. PIL's BILINEAR resize
+    antialiases and uses half-pixel centers — every recognizer input pixel
+    differed by a few percent from the reference protocol."""
+    h, w = img.shape[:2]
+    ys = np.linspace(0.0, h - 1.0, out_h) if out_h > 1 else np.zeros(1)
+    xs = np.linspace(0.0, w - 1.0, out_w) if out_w > 1 else np.zeros(1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    im = img.astype(np.float32)
+    top = im[y0][:, x0] * (1.0 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1.0 - wx) + im[y1][:, x1] * wx
+    return top * (1.0 - wy) + bot * wy
+
+
 def preprocess_crop(crop: np.ndarray, image_shape=(3, 48, 320)) -> np.ndarray:
     """uint8 (H, W, 3) crop -> normalized, ratio-preserving, right-padded
-    (1, 48, 320, 3) float32 (recognizer.py:138-161 semantics, NHWC)."""
-    from PIL import Image
-
+    (1, 48, 320, 3) float32 (eval_dgocr.py pre_process semantics, NHWC:
+    align_corners bilinear resize, zero right-padding)."""
     _, img_h, img_w = image_shape
     h, w = crop.shape[:2]
     resized_w = min(int(math.ceil(img_h * w / h)), img_w)
-    resized = np.asarray(
-        Image.fromarray(crop).resize((max(resized_w, 1), img_h), Image.BILINEAR),
-        np.float32)
+    resized = _resize_bilinear_align_corners(crop, img_h, max(resized_w, 1))
     resized = (resized / 255.0 - 0.5) / 0.5
     out = np.zeros((img_h, img_w, 3), np.float32)
     out[:, :resized.shape[1]] = resized

@@ -56,12 +56,17 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
     Computation runs in float32 and casts back to x.dtype.
     """
-    orig_dtype = x.dtype
+    xf, rotated = _interleaved_rotation(x)
+    return (xf * cos + rotated * sin).astype(x.dtype)
+
+
+def _interleaved_rotation(x: jnp.ndarray):
+    """(x_f32, rotate-pairs(x)_f32): the shared interleaved-pair rotation body
+    of apply_rope / apply_rope_bshd (each applies its own table broadcast)."""
     xf = x.astype(jnp.float32)
     pairs = xf.reshape(*x.shape[:-1], -1, 2)
     rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
-    out = xf * cos + rotated * sin
-    return out.astype(orig_dtype)
+    return xf, rotated
 
 
 def rope_tables_half(
@@ -96,9 +101,6 @@ def apply_rope_bshd(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.n
     """apply_rope for (B, S, H, D) tensors without layout transposes —
     tables broadcast over the heads axis directly (saves two HBM round trips
     per q/k per block vs transposing to BHSD and back)."""
-    orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    pairs = xf.reshape(*x.shape[:-1], -1, 2)
-    rotated = jnp.stack([-pairs[..., 1], pairs[..., 0]], axis=-1).reshape(xf.shape)
+    xf, rotated = _interleaved_rotation(x)
     out = xf * cos[None, :, None, :] + rotated * sin[None, :, None, :]
-    return out.astype(orig_dtype)
+    return out.astype(x.dtype)

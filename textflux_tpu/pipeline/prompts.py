@@ -36,33 +36,41 @@ def build_prompts(words: Sequence[str]) -> Tuple[str, str]:
     return GENERIC_TEMPLATE, words_prompt(words)
 
 
-def find_render_token_windows(tokenize, prompt: str, max_length: int = 512):
+def find_render_token_windows(tokenize, prompt: str, max_length: int = 512,
+                              pad_id: int = 0):
     """Locate the T5 token windows of the quoted render words inside a prompt.
 
     Port of the reference's get_text_to_render matching
-    (/root/reference/diffusers/.../pipeline_flux.py:197-268): extract
-    `'word'`-quoted spans, tokenize each without padding, and slide over the
-    full prompt's ids to find the span indices. Returns a list of
-    (word, start, end) tuples (end exclusive); used to build per-token
-    attention weightings (e.g. the spatial AMO variant).
-    """
+    (/root/reference/diffusers/.../pipeline_flux.py:222-244): the needle is
+    the tokenization of the QUOTED span with the first piece (the leading
+    quote) and the last non-pad piece (eos) dropped — ids[1:first_pad-1].
+    Tokenizing the bare word instead yields a space-prefixed ("▁word")
+    first piece that never occurs after the opening quote in the prompt, so
+    nothing ever matched with a real SentencePiece tokenizer. Like the
+    reference, an unmatched span raises (a silent [] disabled every
+    per-token attention weighting built on it). Falls back to double-quoted
+    spans when no single-quoted ones exist, and (beyond the reference, which
+    only matches the FIRST span) returns every span's (word, start, end)."""
     import re
 
     full_ids = [int(t) for t in np.asarray(tokenize(prompt)).ravel()]
+    spans = re.findall(r"'[^']*'", prompt) or re.findall(r'"[^"]*"', prompt)
     windows = []
-    for match in re.findall(r"'([^']*)'", prompt):
-        word_ids = [int(t) for t in np.asarray(tokenize(match)).ravel()]
-        # strip padding / trailing special ids: keep the longest prefix that
-        # occurs contiguously in the full sequence
-        for trim in range(len(word_ids), 0, -1):
-            needle = word_ids[:trim]
-            for start in range(0, min(len(full_ids), max_length) - trim + 1):
-                if full_ids[start:start + trim] == needle:
-                    windows.append((match, start, start + trim))
-                    break
-            else:
-                continue
-            break
+    for span in spans:
+        ids = [int(t) for t in np.asarray(tokenize(span)).ravel()]
+        end = ids.index(pad_id) if pad_id in ids else len(ids)
+        needle = ids[1:end - 1]
+        if not needle:
+            continue
+        n = len(needle)
+        for start in range(0, min(len(full_ids), max_length) - n + 1):
+            if full_ids[start:start + n] == needle:
+                windows.append((span[1:-1], start, start + n))
+                break
+        else:
+            raise ValueError(
+                f"no token window found for {span} in the prompt (the "
+                "reference raises here too, pipeline_flux.py:243)")
     return windows
 
 

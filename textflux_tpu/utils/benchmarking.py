@@ -35,10 +35,18 @@ def time_step(step: Callable, x0, *, iters_hi: int = 12, iters_lo: int = 3,
     so the device cannot elide or overlap iterations.
     """
     _run_chained(step, x0, 1)  # warmup / compile
-    best = float("inf")
+    slopes = []
     for _ in range(repeats):
         t_hi = _run_chained(step, x0, iters_hi)
         t_lo = _run_chained(step, x0, iters_lo)
-        per = (t_hi - t_lo) / (iters_hi - iters_lo)
-        best = min(best, per)
-    return max(best, 1e-9)
+        slopes.append((t_hi - t_lo) / (iters_hi - iters_lo))
+    # a service hiccup in an iters_lo run makes its slope NEGATIVE; min()
+    # over raw slopes then locked onto the clamp and reported 1 ns/step,
+    # silently winning every A/B. Keep only positive slopes; if every repeat
+    # was corrupted, fail loudly rather than return garbage.
+    good = [s for s in slopes if s > 0]
+    if not good:
+        raise RuntimeError(
+            f"time_step: all {repeats} repeats measured non-positive slopes "
+            f"{slopes} — tunnel interference (see CLAUDE.md); re-run")
+    return min(good)
