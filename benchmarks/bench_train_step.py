@@ -104,15 +104,10 @@ def bench_qlora_full_depth(quantize_base="nf4", rank=128, use_8bit_adam=True,
     shapes = jax.eval_shape(lambda k: init_flux_params(k, cfg), jax.random.PRNGKey(0))
     base = zero_flux_params(cfg, quantize_base, double_quant=double_quant)
     print(f"qlora base ({quantize_base}): {quantized_bytes(base)/2**30:.2f} GiB")
-    lora = {
-        g: {name: (lambda w: {"a": jnp.zeros(w.shape[:-1] + (rank,), jnp.float32),
-                              "b": jnp.zeros(w.shape[:-2] + (rank, w.shape[-1]),
-                                             jnp.float32)})(
-                TR.lora_target_leaf(shapes[g], name)["w"])
-            for name in names}
-        for g, names in (("double", TR.LORA_TARGETS_DOUBLE),
-                         ("single", TR.LORA_TARGETS_SINGLE))
-    }
+    # lora_init only reads SHAPES from the base tree, so the eval_shape
+    # structs suffice — and it builds the grouped per-module factor layout
+    # fresh training uses (reference peft family)
+    lora = TR.lora_init(jax.random.PRNGKey(1), shapes, cfg, rank)
     n_lora = sum(int(x.size) for x in jax.tree.leaves(lora))
     print(f"lora params: {n_lora/1e6:.0f}M fp32 ({n_lora*4/2**30:.2f} GiB)")
 

@@ -145,9 +145,11 @@ def test_lora_import_roundtrip_matches_delta(rng):
 
     assert set(imported["double"]) == set(LORA_TARGETS_DOUBLE)
     assert set(imported["single"]) == set(LORA_TARGETS_SINGLE)
-    # fused qkv: 3 modules x rank -> 3*rank; linear1: 4 modules
-    assert imported["double"]["img_qkv"]["a"].shape[-1] == 3 * rank
-    assert imported["single"]["linear1"]["a"].shape[-1] == 4 * rank
+    # grouped fused targets: independent per-module rank-r factors
+    # (a: (L, 3, in, r)) — the reference peft family, round-tripping exactly
+    assert imported["double"]["img_qkv"]["a"].shape[1:] == (
+        3, lora["double"]["img_qkv"]["a"].shape[2], rank)
+    assert imported["single"]["linear1"]["a"].shape[1] == 3
     assert imported["double"]["img_mlp.fc1"]["a"].shape[-1] == rank
 
     imp_tree = jax.tree.map(jnp.asarray, imported)

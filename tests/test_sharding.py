@@ -108,13 +108,14 @@ def test_adapt_specs_handles_lora_carrying_leaves():
     specs = PT.adapt_specs_to_params(PT.flux_param_specs(FLUX_TINY), merged)
     assert jax.tree.structure(specs) == jax.tree.structure(
         jax.tree.map(lambda _: P(), merged))
-    assert specs["double"]["img_qkv"]["lora_a"] == P()
+    assert specs["double"]["img_qkv"]["lora_ga"] == P()   # grouped q/k/v
+    assert specs["double"]["img_proj"]["lora_a"] == P()   # single-module
     assert specs["_tp_layout"] == P()
 
     # quantized base + lora branches
     qmerged = quantize_tree(lora_insert(params, lora, 1.0), min_size=0)
     qspecs = PT.adapt_specs_to_params(PT.flux_param_specs(FLUX_TINY), qmerged)
-    assert qspecs["double"]["img_qkv"]["lora_b"] == P()
+    assert qspecs["double"]["img_qkv"]["lora_gb"] == P()
     mesh = PT.make_mesh((1, 2, 2), jax.devices()[:4])
     PT.shard_tree(qmerged, qspecs, mesh)  # must not raise
 

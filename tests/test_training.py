@@ -425,3 +425,42 @@ def test_prodigy_state_safe_to_donate():
               and l.shape == p["w"].shape
               and l.unsafe_buffer_pointer() == ptr]
     assert not shared
+
+
+def test_lora_grouped_reference_family(rng):
+    """Fresh LoRA must be the reference peft family: single blocks adapt only
+    attn.to_q/k/v (no proj_mlp columns, no proj_out), and fused q/k/v carry
+    INDEPENDENT per-module factors (zeroing q's factors leaves k/v deltas
+    untouched — a shared-A fused branch couples them)."""
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    lora = TR.lora_init(jax.random.PRNGKey(1), params, FLUX_TINY, 2)
+    assert "linear2" not in lora["single"]
+    assert lora["double"]["img_qkv"]["a"].shape[1] == 3      # grouped M=3
+    lora = jax.tree.map(lambda x: x + 0.1, lora)
+
+    d = FLUX_TINY.hidden_dim
+    merged = TR.lora_merge(params, lora, 1.0)
+    w0 = np.asarray(params["single"]["linear1"]["w"])
+    w1 = np.asarray(merged["single"]["linear1"]["w"])
+    np.testing.assert_array_equal(w1[..., 3 * d:], w0[..., 3 * d:])  # mlp tail
+    assert np.abs(w1[..., :3 * d] - w0[..., :3 * d]).max() > 0
+
+    lora_q0 = dict(lora, double=dict(lora["double"]))
+    f = lora["double"]["img_qkv"]
+    lora_q0["double"]["img_qkv"] = {"a": f["a"].at[:, 0].set(0.0),
+                                    "b": f["b"].at[:, 0].set(0.0)}
+    m_all = np.asarray(TR.lora_merge(params, lora, 1.0)["double"]["img_qkv"]["w"])
+    m_q0 = np.asarray(TR.lora_merge(params, lora_q0, 1.0)["double"]["img_qkv"]["w"])
+    base = np.asarray(params["double"]["img_qkv"]["w"])
+    np.testing.assert_array_equal(m_q0[..., :d], base[..., :d])   # q delta gone
+    np.testing.assert_array_equal(m_q0[..., d:], m_all[..., d:])  # k/v intact
+
+    # the parallel-branch application (dense lora_ga) matches the fold
+    inserted = TR.lora_insert(params, lora, 1.0)
+    x = jnp.asarray(rng.standard_normal((2, FLUX_TINY.hidden_dim)), jnp.float32)
+    from textflux_tpu.models.layers import dense
+
+    y_branch = dense(jax.tree.map(lambda v: v[0], inserted["double"]["img_qkv"]), x)
+    y_folded = dense(jax.tree.map(lambda v: v[0], merged["double"]["img_qkv"]), x)
+    np.testing.assert_allclose(np.asarray(y_branch), np.asarray(y_folded),
+                               atol=1e-4)

@@ -54,24 +54,46 @@ def matched_pairs(gt_dir: str, gen_dir: str) -> List[Tuple[str, str]]:
     return [(os.path.join(gt_dir, n), os.path.join(gen_dir, n)) for n in names]
 
 
-def _load(path: str, size: Optional[int]) -> np.ndarray:
+def _load(path: str, size: Optional[int] = None) -> np.ndarray:
+    """[-1, 1] float HWC. An optional square resize uses the SAME bilinear
+    (half-pixel centers, NO antialias) the inception wrapper applies
+    in-network, so pre-resizing for batching is numerically identical to
+    feeding native-resolution images to pytorch_fid. (PIL's antialiased
+    BILINEAR was not, and silently broke FID comparability.)"""
     img = Image.open(path).convert("RGB")
-    if size:
-        img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 127.5 - 1.0
+    arr = np.asarray(img, np.float32) / 127.5 - 1.0
+    if size and arr.shape[:2] != (size, size):
+        import jax
+
+        arr = np.asarray(jax.image.resize(
+            arr, (size, size, 3), method="bilinear", antialias=False))
+    return arr
 
 
-def compute_lpips(pairs, lpips_params, batch: int = 8, size: int = 256) -> float:
+def compute_lpips(pairs, lpips_params, batch: int = 8,
+                  size: Optional[int] = None) -> float:
+    """LPIPS at NATIVE resolution by default — the reference protocol
+    (eval/eval_fid_lpips.py loads images without resizing; AlexNet LPIPS is
+    strongly scale-dependent). Pairs are grouped by shape for batching."""
+    from collections import defaultdict
+
     import jax.numpy as jnp
 
     from textflux_tpu.evaluation.lpips import lpips_distance
 
+    groups = defaultdict(list)
+    for g, f in pairs:
+        a, b = _load(g, size), _load(f, size)
+        if a.shape != b.shape:
+            raise ValueError(f"pair size mismatch: {g} {a.shape} vs {f} {b.shape}")
+        groups[a.shape].append((a, b))
     vals = []
-    for i in range(0, len(pairs), batch):
-        chunk = pairs[i:i + batch]
-        a = jnp.asarray(np.stack([_load(g, size) for g, _ in chunk]))
-        b = jnp.asarray(np.stack([_load(f, size) for _, f in chunk]))
-        vals.extend(np.asarray(lpips_distance(lpips_params, a, b)).tolist())
+    for items in groups.values():
+        for i in range(0, len(items), batch):
+            chunk = items[i:i + batch]
+            a = jnp.asarray(np.stack([x for x, _ in chunk]))
+            b = jnp.asarray(np.stack([y for _, y in chunk]))
+            vals.extend(np.asarray(lpips_distance(lpips_params, a, b)).tolist())
     return float(np.mean(vals))
 
 
@@ -94,7 +116,12 @@ def main(argv=None):
                    help="module:callable mapping (N,H,W,3) [-1,1] -> (N,D) features")
     p.add_argument("--lpips-weights", default=None,
                    help="torch lpips.LPIPS(net='alex') state dict (.pt)")
-    p.add_argument("--resize", type=int, default=299)
+    p.add_argument("--resize", type=int, default=299,
+                   help="FID pre-resize for batching; uses the network's own "
+                        "non-antialiased bilinear, so 299 (default) is "
+                        "numerically identical to pytorch_fid's in-network "
+                        "resize of native images. LPIPS always runs at "
+                        "native resolution (the reference protocol).")
     args = p.parse_args(argv)
 
     log = TeeLogger(os.path.join(args.log_dir, f"eval_{int(time.time())}.log")

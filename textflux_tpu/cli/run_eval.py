@@ -38,6 +38,7 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
+from textflux_tpu.data.native import fill_poly as native_fill_poly
 from textflux_tpu.pipeline.prompts import build_prompts
 from textflux_tpu.rendering import draw_glyph_flexible, load_font
 
@@ -65,9 +66,12 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
     strip_h = int(w * text_height_ratio)
     strip = draw_glyph_flexible(font, text, w, strip_h)
 
-    mask = np.zeros((h, w, 3), np.uint8)
-    if cv2 is not None:
-        cv2.fillPoly(mask, [polygon], (255, 255, 255))
+    # native scanline fill (C++ or cv2 under the hood; raises if neither is
+    # available — a silently empty mask would make every edit a no-op that
+    # still counts as done=N)
+    mask1 = np.zeros((h, w), np.uint8)
+    native_fill_poly(mask1, polygon.astype(np.float32), 255)
+    mask = np.repeat(mask1[..., None], 3, axis=-1)
     combined = Image.fromarray(np.vstack((np.array(strip), np.array(img))))
     combined_mask = Image.fromarray(
         np.vstack((np.zeros((strip_h, w, 3), np.uint8), mask)))
@@ -75,7 +79,10 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
     new_w, new_h = (w // 32) * 32, ((h + strip_h) // 32) * 32
     prompt, prompt_2 = build_prompts([text])
     return {
-        "img_name": item["img_name"],
+        # basename like the reference (scripts/run_eval.py): an img_name
+        # with a subdirectory would crash the flat-directory save after a
+        # full 30-step generation
+        "img_name": os.path.basename(item["img_name"]),
         "image": combined.resize((new_w, new_h)),
         "mask": combined_mask.resize((new_w, new_h)),
         "words": [text],
@@ -231,7 +238,7 @@ def main(argv=None):
     skipped = 0
     if args.skip_existing:
         def _done(it):
-            n = it.get("img_name", "")
+            n = os.path.basename(it.get("img_name", ""))
             return (os.path.exists(os.path.join(full_dir, n))
                     and os.path.exists(os.path.join(crop_dir, n)))
 
@@ -254,14 +261,29 @@ def main(argv=None):
 
     if args.staged_text:
         # phase 1: text encoders resident, DiT deferred — encode every prompt
-        for prep in prepared:
+        # in device-batch chunks (one T5 forward per chunk, not per item)
+        enc_bs = max(args.batch_size, 8)
+        for i in range(0, len(prepared), enc_bs):
+            chunk = prepared[i:i + enc_bs]
             try:
-                pooled, txt = pipe.encode_batch_prompts([prep["words"]])
-                prep["text_embeds"] = (np.asarray(pooled.astype("float32")),
-                                       np.asarray(txt.astype("float32")))
-            except Exception as e:
-                failures.append({"img_name": prep.get("img_name"), "error": repr(e)})
-                print(f"FAILED encode {prep.get('img_name')}: {e}")
+                pooled, txt = pipe.encode_batch_prompts(
+                    [p["words"] for p in chunk])
+                for j, prep in enumerate(chunk):
+                    prep["text_embeds"] = (
+                        np.asarray(pooled[j:j + 1].astype("float32")),
+                        np.asarray(txt[j:j + 1].astype("float32")))
+            except Exception as e:  # fall back per item so one bad prompt
+                # doesn't take down the chunk
+                for prep in chunk:
+                    try:
+                        pooled, txt = pipe.encode_batch_prompts([prep["words"]])
+                        prep["text_embeds"] = (
+                            np.asarray(pooled.astype("float32")),
+                            np.asarray(txt.astype("float32")))
+                    except Exception as e2:
+                        failures.append({"img_name": prep.get("img_name"),
+                                         "error": repr(e2)})
+                        print(f"FAILED encode {prep.get('img_name')}: {e2}")
         prepared = [p for p in prepared if "text_embeds" in p]
         # phase 2: free the encoders, load the DiT
         pipe.release_text_encoders()

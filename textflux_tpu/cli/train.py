@@ -414,9 +414,9 @@ def main(argv=None):
                     tracker.log({"loss": entry["loss"], "grad_norm": entry["grad_norm"]},
                                 step)
                 if step % args.checkpointing_steps == 0:
-                    ckpt.save(step, state)
+                    ckpt.save(step, state, wait=preempt["seen"])
                 elif preempt["seen"]:
-                    ckpt.save(step, state)
+                    ckpt.save(step, state, wait=True)
                 if preempt["seen"]:
                     break
             if preempt["seen"]:
@@ -442,6 +442,7 @@ def main(argv=None):
         else:
             save_transformer_checkpoint(state["params"], flux_cfg,
                                         os.path.join(args.output_dir, "transformer"))
+        ckpt.wait()  # drain any in-flight async orbax write before exit
         print("training complete")
 
 

@@ -69,10 +69,14 @@ def fill_poly(mask: np.ndarray, polygon: np.ndarray, value: int = 255) -> np.nda
     if lib is None:
         try:
             import cv2
-
-            cv2.fillPoly(mask, [pts.astype(np.int32)], int(value))
-        except Exception:
-            pass
+        except Exception as e:  # no native lib AND no cv2: fail loudly — a
+            # silently empty mask makes every downstream edit a no-op that
+            # still "succeeds"
+            raise RuntimeError(
+                "polygon fill needs the native kernel (g++ to build "
+                "native/textflux_native.cpp) or cv2; neither is available"
+            ) from e
+        cv2.fillPoly(mask, [pts.astype(np.int32)], int(value))
         return mask
     assert mask.dtype == np.uint8 and mask.flags.c_contiguous
     lib.fill_poly(_u8(mask), mask.shape[0], mask.shape[1], _f32(pts),

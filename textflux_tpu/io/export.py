@@ -142,11 +142,20 @@ def export_lora_state_dict(lora, cfg, alpha: float,
         for key, targets in name_map.items():
             if key not in factors:
                 continue
-            a = _np(factors[key]["a"])  # (L, in, r)
-            b = _np(factors[key]["b"])  # (L, r, out)
+            a = _np(factors[key]["a"])  # (L, in, r) or grouped (L, M, in, r)
+            b = _np(factors[key]["b"])  # (L, r, out) or grouped (L, M, r, d)
             r_t = a.shape[-1]
             alpha_t = alpha if rank is None else alpha * (r_t / rank)
+            grouped = a.ndim == 4
             for i in range(n_layers):
+                if grouped:
+                    # independent per-module adapters (reference peft family)
+                    for m, (target, _) in enumerate(targets[: a.shape[1]]):
+                        mod = f"{prefix}.{i}.{target}"
+                        sd[f"transformer.{mod}.lora_A.weight"] = a[i, m].T
+                        sd[f"transformer.{mod}.lora_B.weight"] = b[i, m].T
+                        sd[f"transformer.{mod}.alpha"] = np.float32(alpha_t)
+                    continue
                 start = 0
                 for target, size in targets:
                     mod = f"{prefix}.{i}.{target}"

@@ -99,9 +99,14 @@ _IMPORT_MAP_DOUBLE = {
     "txt_mlp.fc2": ("ff_context.net.2",),
 }
 _IMPORT_MAP_SINGLE = {
-    "linear1": ("attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp"),
-    "linear2": ("proj_out",),
+    "linear1": ("attn.to_q", "attn.to_k", "attn.to_v"),
 }
+# fused targets whose sub-modules import as GROUPED independent per-module
+# factors (training.train.LORA_GROUPED); single-module targets import flat
+_GROUPED_IMPORTS = ("img_qkv", "txt_qkv", "linear1")
+# module names the reference's peft target list never adapts; a file carrying
+# them was trained with a custom --lora_layers subset we cannot represent
+_UNSUPPORTED_SINGLE_MODS = (".proj_mlp.lora_A", ".proj_out.lora_A")
 
 
 def import_lora_factors(
@@ -112,71 +117,76 @@ def import_lora_factors(
     """diffusers/peft LoRA state dict -> training factor tree (warm start,
     reference train_lora.py:536-553).
 
-    Sub-modules of a fused projection (qkv, single linear1) carry INDEPENDENT
-    (A, B) pairs in the sd; the exact fused equivalent concatenates the A's
-    along the rank axis and places the B's block-diagonally — rank sum(r_m)
-    on fused targets (training.lora_insert handles per-target ranks). Each
+    Sub-modules of a fused projection (qkv, single linear1's q/k/v) carry
+    INDEPENDENT (A, B) pairs in the sd and import as grouped per-module
+    factors a: (L, M, in, r) / b: (L, M, r, d) — the same parameterization
+    fresh training uses, so continued training stays in the reference's
+    model family (an earlier rank-concat/block-diagonal fused import was
+    init-exact but let gradients fill the cross-module blocks). Each
     module's own alpha_m/r_m, divided by the train step's global
     ``lora_scale`` (alpha/rank), is folded into A so the inserted delta
     reproduces the sd's exactly. Targets absent from the sd are omitted
-    (caller keeps its fresh init for them).
-    """
+    (caller keeps its fresh init); absent LAYERS of a present target get a
+    fresh per-layer init (B=0)."""
+    for k in lora_sd:
+        if any(m in k for m in _UNSUPPORTED_SINGLE_MODS):
+            raise ValueError(
+                f"LoRA file adapts {k.split('.lora_')[0]} — outside the "
+                "reference's peft target list (single blocks adapt only "
+                "attn.to_q/k/v); custom --lora_layers subsets are not "
+                "importable (see ARCHITECTURE.md deviations)")
+
+    def lookup(prefix, i, mod):
+        key = f"{prefix}.{i}.{mod}"
+        for p in (f"transformer.{key}", key):
+            if f"{p}.lora_A.weight" in lora_sd:
+                a = np.asarray(lora_sd[f"{p}.lora_A.weight"], np.float32)
+                b = np.asarray(lora_sd[f"{p}.lora_B.weight"], np.float32)
+                r = a.shape[0]
+                alpha = float(np.asarray(lora_sd.get(f"{p}.alpha", r)))
+                return a.T * ((alpha / r) / lora_scale), b.T  # (in, r), (r, out)
+        return None
+
     def build(prefix: str, n_layers: int, name_map):
         out = {}
         for target, mods in name_map.items():
+            grouped = target in _GROUPED_IMPORTS
             per_layer = []
             for i in range(n_layers):
-                a_parts, b_specs, d_outs = [], [], []
-                for mod in mods:
-                    key = f"{prefix}.{i}.{mod}"
-                    for p in (f"transformer.{key}", key):
-                        if f"{p}.lora_A.weight" in lora_sd:
-                            a = np.asarray(lora_sd[f"{p}.lora_A.weight"], np.float32)
-                            b = np.asarray(lora_sd[f"{p}.lora_B.weight"], np.float32)
-                            r = a.shape[0]
-                            alpha = float(np.asarray(lora_sd.get(f"{p}.alpha", r)))
-                            a_parts.append(a.T * ((alpha / r) / lora_scale))
-                            b_specs.append(b.T)           # (r, out_m)
-                            d_outs.append(b.shape[0])
-                            break
-                    else:
-                        a_parts.append(None)
-                        b_specs.append(None)
-                        d_outs.append(None)
-                if all(x is None for x in a_parts):
-                    per_layer.append(None)  # layer not in sd: zero-fill below
+                pairs = [lookup(prefix, i, mod) for mod in mods]
+                if all(p is None for p in pairs):
+                    per_layer.append(None)  # layer not in sd: fresh below
                     continue
-                if any(x is None for x in a_parts):
+                if any(p is None for p in pairs):
                     raise ValueError(
                         f"LoRA sd covers only some sub-modules of fused "
                         f"target {target} (layer {i}): {mods}")
-                a_cat = np.concatenate(a_parts, axis=1)    # (in, R)
-                big_r = a_cat.shape[1]
-                b_cat = np.zeros((big_r, sum(d_outs)), np.float32)
-                r_off = col = 0
-                for bs, dout in zip(b_specs, d_outs):
-                    b_cat[r_off:r_off + bs.shape[0], col:col + dout] = bs
-                    r_off += bs.shape[0]
-                    col += dout
-                per_layer.append((a_cat, b_cat))
+                if grouped:
+                    ranks = {a.shape[1] for a, _ in pairs}
+                    if len(ranks) != 1:
+                        raise ValueError(
+                            f"per-module ranks differ inside {target} "
+                            f"(layer {i}): {ranks}")
+                    per_layer.append((np.stack([a for a, _ in pairs]),
+                                      np.stack([b for _, b in pairs])))
+                else:
+                    per_layer.append(pairs[0])
             present = [x for x in per_layer if x is not None]
             if not present:
                 continue                                   # target not in sd
-            ranks = {a.shape[1] for a, _ in present}
+            ranks = {a.shape[-1] for a, _ in present}
             if len(ranks) != 1:
                 raise ValueError(f"rank differs across layers for {target}: {ranks}")
-            # layers absent from the sd (block-subset LoRAs, e.g. peft
-            # target_modules limited to blocks 0-9) get a FRESH init — B=0
-            # (no-op delta) with a random A like lora_init (A=B=0 would
+            # layers absent from the sd (block-subset LoRAs): fresh init —
+            # B=0 (no-op delta) with a random A like lora_init (A=B=0 would
             # zero both gradients and freeze the layer) — instead of
-            # discarding the whole target, which silently threw away the
-            # covered layers' trained weights
+            # discarding the whole target
             a0, b0 = present[0]
             rng = np.random.default_rng(0)
 
             def fresh():
                 return (rng.standard_normal(a0.shape).astype(np.float32)
-                        / a0.shape[1], np.zeros_like(b0))
+                        / a0.shape[-1], np.zeros_like(b0))
 
             per_layer = [x if x is not None else fresh() for x in per_layer]
             out[target] = {"a": np.stack([a for a, _ in per_layer]),

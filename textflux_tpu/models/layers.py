@@ -48,6 +48,21 @@ def dense(p, x: jnp.ndarray) -> jnp.ndarray:
         # the frozen base (bf16 OR int8/NF4 dequant-on-read) is never
         # materialized as base + A@B
         y = y + (x @ p["lora_a"].astype(x.dtype)) @ p["lora_b"].astype(x.dtype)
+    if "lora_ga" in p:
+        # GROUPED per-module branches on a fused projection (the reference's
+        # independent peft adapters for to_q/to_k/to_v): a (M, in, r),
+        # b (M, r, d); deltas land on the leading M*d output columns, the
+        # fused mlp tail (single-block linear1) gets none
+        ga = p["lora_ga"].astype(x.dtype)
+        gb = p["lora_gb"].astype(x.dtype)
+        t = jnp.einsum("...i,mir->...mr", x, ga)
+        delta = jnp.einsum("...mr,mrd->...md", t, gb)
+        delta = delta.reshape(*delta.shape[:-2], -1)
+        pad = y.shape[-1] - delta.shape[-1]
+        if pad:
+            delta = jnp.concatenate(
+                [delta, jnp.zeros((*delta.shape[:-1], pad), delta.dtype)], -1)
+        y = y + delta
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -605,6 +605,11 @@ def half_permute_flux_params(params, cfg: FluxConfig):
                 out[k] = v[..., idx]
             elif k == "lora_a":
                 out[k] = v
+            elif k in ("lora_ga", "lora_gb"):
+                raise ValueError(
+                    "grouped per-module LoRA factors cannot be permuted for "
+                    "the fused kernel — fold them first (training.train."
+                    "lora_merge / io.lora load-time folding)")
             else:  # never drop silently: a new aux leaf needs a decision here
                 raise KeyError(
                     f"unknown dense-leaf key {k!r} in half_permute_flux_params"
@@ -683,6 +688,11 @@ def tp_permute_flux_params(params, cfg: FluxConfig, tp: int):
                 out[k] = v[..., idx]
             elif k == "lora_a":  # acts on the in dim: untouched
                 out[k] = v
+            elif k in ("lora_ga", "lora_gb"):
+                raise ValueError(
+                    "grouped per-module LoRA factors cannot be tp-permuted — "
+                    "fold them first (training.train.lora_merge / io.lora "
+                    "load-time folding)")
             else:
                 raise KeyError(
                     f"unknown dense-leaf key {k!r} in tp_permute_flux_params"

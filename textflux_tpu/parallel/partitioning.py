@@ -129,7 +129,7 @@ def adapt_specs_to_params(specs, params):
                 elif k in ("absmax4", "absmax8"):
                     # (..., in/64, out): same rank/axis layout as w
                     out[k] = wspec
-                elif k in ("lora_a", "lora_b"):
+                elif k in ("lora_a", "lora_b", "lora_ga", "lora_gb"):
                     # rank-r parallel branches (QLoRA serving layout): tiny —
                     # replicate rather than shard a rank axis that rarely
                     # divides tp

@@ -25,14 +25,26 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, *, wait: bool = False) -> None:
+        """Async by default: orbax copies device->host synchronously (safe
+        even with donated train-step buffers) and writes to disk in the
+        background, overlapping the next train steps; the wait for the
+        PREVIOUS save happens here instead of stalling after every save.
+        wait=True blocks until durable (final/preemption checkpoints)."""
+        self.manager.wait_until_finished()
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self.manager.wait_until_finished()
         return self.manager.latest_step()
 
     def restore(self, step: Optional[int] = None, template: Any = None) -> Any:
+        self.manager.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None

@@ -56,9 +56,13 @@ class TrainConfig:
     mode: str = "attn"                    # "attn" | "all" | "lora"
     lora_rank: int = 128
     lora_alpha: float = 128.0
-    # reference quirk: single blocks 11, 12 are excluded from the unfreeze list
-    # (scripts/train.py:520-585)
-    excluded_single_layers: Tuple[int, ...] = (11, 12)
+    # Layers to EXCLUDE from the attention unfreeze. Default: none — the
+    # reference's single_transformer_blocks list omits 11/12 but its
+    # `grad_param in name` SUBSTRING match still unfreezes them, because
+    # "transformer_blocks.11." (the double-block entry) is a substring of
+    # "single_transformer_blocks.11.attn..." (scripts/train.py:578-585);
+    # an earlier round misread the omission as a deliberate quirk.
+    excluded_single_layers: Tuple[int, ...] = ()
     # model compute dtype (the reference's accelerate bf16 autocast); fp32
     # master params/optimizer state are unaffected — dense casts weights to
     # the activation dtype per-matmul (fused into the matmul by XLA)
@@ -130,14 +134,23 @@ def apply_mask(tree, mask):
 # ---------------------------------------------------------------------------
 
 # Dotted names address nested leaves (the double-block FF pairs). This is the
-# reference's full 12-module-class target list (train_lora.py:511-524): qkv +
-# out projections of both streams, BOTH streams' FFs (ff.net.0.proj/ff.net.2
-# = fc1/fc2), and on the single side the fused linear1/linear2 (which contain
-# q/k/v + mlp and proj_out).
+# reference's 12-module-class peft target list (train_lora.py:511-524): qkv +
+# out projections of both streams and BOTH streams' FFs on double blocks; on
+# single blocks only attn.to_q/k/v match (proj_mlp and proj_out are NOT in
+# the list — peft suffix-matches module names), which live in the leading 3d
+# columns of the fused linear1.
 LORA_TARGETS_DOUBLE = ("img_qkv", "txt_qkv", "img_proj", "txt_proj",
                        "img_mlp.fc1", "img_mlp.fc2",
                        "txt_mlp.fc1", "txt_mlp.fc2")
-LORA_TARGETS_SINGLE = ("linear1", "linear2")
+LORA_TARGETS_SINGLE = ("linear1",)
+# Fused projections whose reference counterparts are INDEPENDENT per-module
+# peft adapters (to_q, to_k, to_v — each its own rank-r A and B). These train
+# grouped factors a: (L, 3, in, r) / b: (L, 3, r, d) applied to the leading
+# 3d output columns (layers.dense "lora_ga"/"lora_gb"); a single shared-A
+# rank-r branch over the fused output would be a structurally different
+# model family (q/k/v deltas constrained to one input subspace, and linear1's
+# mlp tail adapted, which the reference never does).
+LORA_GROUPED = {"img_qkv": 3, "txt_qkv": 3, "linear1": 3}
 
 
 def lora_target_leaf(group_params, name: str):
@@ -177,13 +190,21 @@ def lora_target_dims(leaf):
 
 def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
     """Per-target (A, B) factors: A ~ N(0, 1/r) (gaussian init), B = 0.
-    Works over bf16 AND serve-quantized bases (see lora_target_dims)."""
+    Grouped targets (LORA_GROUPED) get independent per-module factors like
+    the reference's peft adapters. Works over bf16 AND serve-quantized
+    bases (see lora_target_dims)."""
+    d = cfg.hidden_dim
 
-    def factors(key, leaf):
+    def factors(key, name, leaf):
         lead, d_in, d_out = lora_target_dims(leaf)
         ka, _ = jax.random.split(key)
-        a = jax.random.normal(ka, (*lead, d_in, rank), jnp.float32) / rank
-        b = jnp.zeros((*lead, rank, d_out), jnp.float32)
+        m = LORA_GROUPED.get(name)
+        if m:
+            a = jax.random.normal(ka, (*lead, m, d_in, rank), jnp.float32) / rank
+            b = jnp.zeros((*lead, m, rank, d), jnp.float32)
+        else:
+            a = jax.random.normal(ka, (*lead, d_in, rank), jnp.float32) / rank
+            b = jnp.zeros((*lead, rank, d_out), jnp.float32)
         return {"a": a, "b": b}
 
     keys = jax.random.split(key, len(LORA_TARGETS_DOUBLE) + len(LORA_TARGETS_SINGLE))
@@ -191,10 +212,10 @@ def lora_init(key: jax.Array, params, cfg: FluxConfig, rank: int):
     tree = {"double": {}, "single": {}}
     for name in LORA_TARGETS_DOUBLE:
         tree["double"][name] = factors(
-            next(ki), lora_target_leaf(params["double"], name))
+            next(ki), name, lora_target_leaf(params["double"], name))
     for name in LORA_TARGETS_SINGLE:
         tree["single"][name] = factors(
-            next(ki), lora_target_leaf(params["single"], name))
+            next(ki), name, lora_target_leaf(params["single"], name))
     return tree
 
 
@@ -205,13 +226,22 @@ def lora_merge(params, lora, scale: float):
     out = {k: v for k, v in params.items()}
     out["double"] = dict(params["double"])
     out["single"] = dict(params["single"])
-    for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
-        for name in names:
+    for group in ("double", "single"):
+        for name, f in lora[group].items():
             base = lora_target_leaf(params[group], name)
-            f = lora[group][name]
-            delta = jnp.einsum("lir,lro->lio", f["a"], f["b"]) * scale
-            _lora_set_leaf(out[group], params[group], name,
-                           dict(base, w=base["w"] + delta.astype(base["w"].dtype)))
+            w = base["w"]
+            if f["a"].ndim == 4:   # grouped per-module factors
+                # (L, M, in, r) @ (L, M, r, d) -> (L, in, M*d) on the
+                # leading M*d output columns; the fused mlp tail (linear1)
+                # is not adapted
+                delta = jnp.einsum("lmir,lmrd->limd", f["a"], f["b"]) * scale
+                delta = delta.reshape(delta.shape[0], delta.shape[1], -1)
+                cols = delta.shape[-1]
+                w = w.at[..., :cols].add(delta.astype(w.dtype))
+            else:
+                delta = jnp.einsum("lir,lro->lio", f["a"], f["b"]) * scale
+                w = w + delta.astype(w.dtype)
+            _lora_set_leaf(out[group], params[group], name, dict(base, w=w))
     return out
 
 
@@ -240,13 +270,16 @@ def lora_insert(params, lora, scale: float):
     out = {k: v for k, v in params.items()}
     out["double"] = dict(params["double"])
     out["single"] = dict(params["single"])
-    for group, names in (("double", LORA_TARGETS_DOUBLE), ("single", LORA_TARGETS_SINGLE)):
-        for name in names:
+    for group in ("double", "single"):
+        for name, f in lora[group].items():
             base = lora_target_leaf(params[group], name)
             check(base)
-            f = lora[group][name]
+            if f["a"].ndim == 4:   # grouped per-module factors
+                extra = {"lora_ga": f["a"] * scale, "lora_gb": f["b"]}
+            else:
+                extra = {"lora_a": f["a"] * scale, "lora_b": f["b"]}
             _lora_set_leaf(out[group], params[group], name,
-                           dict(base, lora_a=f["a"] * scale, lora_b=f["b"]))
+                           dict(base, **extra))
     return out
 
 
@@ -278,15 +311,24 @@ def make_lr_schedule(tc: TrainConfig):
             return jnp.where(s < warm, lr0 * s / max(warm, 1), main)
 
         return sched
+    # NOTE max(warm, 1) only when warmup is actually requested: a phantom
+    # 1-step warmup at warmup=0 ran step 0 at lr=0 and shifted the decay one
+    # step vs diffusers' get_scheduler
     if tc.lr_scheduler == "cosine":
-        return optax.warmup_cosine_decay_schedule(
-            0.0, tc.learning_rate, max(tc.lr_warmup_steps, 1), tc.max_train_steps)
+        if tc.lr_warmup_steps:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, tc.learning_rate, tc.lr_warmup_steps, tc.max_train_steps)
+        return optax.cosine_decay_schedule(tc.learning_rate, tc.max_train_steps)
     if tc.lr_scheduler == "linear":
+        decay = optax.linear_schedule(
+            tc.learning_rate, 0.0,
+            max(tc.max_train_steps - tc.lr_warmup_steps, 1))
+        if not tc.lr_warmup_steps:
+            return decay
         return optax.join_schedules([
-            optax.linear_schedule(0.0, tc.learning_rate, max(tc.lr_warmup_steps, 1)),
-            optax.linear_schedule(tc.learning_rate, 0.0,
-                                  max(tc.max_train_steps - tc.lr_warmup_steps, 1)),
-        ], [max(tc.lr_warmup_steps, 1)])
+            optax.linear_schedule(0.0, tc.learning_rate, tc.lr_warmup_steps),
+            decay,
+        ], [tc.lr_warmup_steps])
     if tc.lr_warmup_steps:
         return optax.warmup_constant_schedule(0.0, tc.learning_rate, tc.lr_warmup_steps)
     return tc.learning_rate
