@@ -245,3 +245,12 @@ def test_run_eval_cli_skip_existing(monkeypatch, two_bucket_fixture):
     assert os.path.exists(out / "cropped_images" / names[0])  # regenerated
     for n, m in mtimes.items():  # untouched, not rewritten
         assert os.path.getmtime(out / "full_images" / n) == m
+
+
+def test_safe_name_no_collisions():
+    from textflux_tpu.cli.run_eval import safe_name
+
+    assert safe_name("part1/0001.jpg") == "part1_0001.jpg"
+    assert safe_name("part2/0001.jpg") == "part2_0001.jpg"
+    assert safe_name(r"a\b\c.png") == "a_b_c.png"
+    assert safe_name("plain.png") == "plain.png"

@@ -81,18 +81,24 @@ def compute_lpips(pairs, lpips_params, batch: int = 8,
 
     from textflux_tpu.evaluation.lpips import lpips_distance
 
+    # group by PIL header size only (lazy): decoding every pair up front
+    # would hold the whole eval set in host memory before the first batch
     groups = defaultdict(list)
     for g, f in pairs:
-        a, b = _load(g, size), _load(f, size)
-        if a.shape != b.shape:
-            raise ValueError(f"pair size mismatch: {g} {a.shape} vs {f} {b.shape}")
-        groups[a.shape].append((a, b))
+        if size:
+            key = (size, size)
+        else:
+            sa, sb = Image.open(g).size, Image.open(f).size
+            if sa != sb:
+                raise ValueError(f"pair size mismatch: {g} {sa} vs {f} {sb}")
+            key = sa
+        groups[key].append((g, f))
     vals = []
     for items in groups.values():
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
-            a = jnp.asarray(np.stack([x for x, _ in chunk]))
-            b = jnp.asarray(np.stack([y for _, y in chunk]))
+            a = jnp.asarray(np.stack([_load(g, size) for g, _ in chunk]))
+            b = jnp.asarray(np.stack([_load(f, size) for _, f in chunk]))
             vals.extend(np.asarray(lpips_distance(lpips_params, a, b)).tolist())
     return float(np.mean(vals))
 

@@ -54,6 +54,11 @@ def evaluate_directory(images_dir: str, json_path: str, recognizer,
             continue
         img_path = os.path.join(images_dir, item["img_name"])
         if not os.path.exists(img_path):
+            # run_eval flattens subdirectory img_names (run_eval.safe_name)
+            from textflux_tpu.cli.run_eval import safe_name
+
+            img_path = os.path.join(images_dir, safe_name(item["img_name"]))
+        if not os.path.exists(img_path):
             skipped += 1
             continue
         image = np.asarray(Image.open(img_path).convert("RGB"))

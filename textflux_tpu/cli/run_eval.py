@@ -43,6 +43,14 @@ from textflux_tpu.pipeline.prompts import build_prompts
 from textflux_tpu.rendering import draw_glyph_flexible, load_font
 
 
+def safe_name(img_name: str) -> str:
+    """Flat, collision-free output filename for an eval item: subdirectory
+    separators become '_'. A bare basename would let part1/0001.jpg and
+    part2/0001.jpg silently overwrite each other (and --skip-existing would
+    then skip both)."""
+    return img_name.replace("\\", "/").strip("/").replace("/", "_")
+
+
 def load_items(json_path: str) -> List[dict]:
     with open(json_path, encoding="utf-8") as f:
         data = json.load(f)
@@ -79,10 +87,9 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
     new_w, new_h = (w // 32) * 32, ((h + strip_h) // 32) * 32
     prompt, prompt_2 = build_prompts([text])
     return {
-        # basename like the reference (scripts/run_eval.py): an img_name
-        # with a subdirectory would crash the flat-directory save after a
-        # full 30-step generation
-        "img_name": os.path.basename(item["img_name"]),
+        # flattened (see safe_name): an img_name with a subdirectory would
+        # crash the flat-directory save after a full 30-step generation
+        "img_name": safe_name(item["img_name"]),
         "image": combined.resize((new_w, new_h)),
         "mask": combined_mask.resize((new_w, new_h)),
         "words": [text],
@@ -238,7 +245,7 @@ def main(argv=None):
     skipped = 0
     if args.skip_existing:
         def _done(it):
-            n = os.path.basename(it.get("img_name", ""))
+            n = safe_name(it.get("img_name", ""))
             return (os.path.exists(os.path.join(full_dir, n))
                     and os.path.exists(os.path.join(crop_dir, n)))
 

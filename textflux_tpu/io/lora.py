@@ -147,6 +147,10 @@ def import_lora_factors(
                 return a.T * ((alpha / r) / lora_scale), b.T  # (in, r), (r, out)
         return None
 
+    # one rng for the whole import: a fresh default_rng(0) per target would
+    # hand every same-shaped target byte-identical "random" fresh-layer A's
+    rng = np.random.default_rng(0)
+
     def build(prefix: str, n_layers: int, name_map):
         out = {}
         for target, mods in name_map.items():
@@ -182,7 +186,6 @@ def import_lora_factors(
             # zero both gradients and freeze the layer) — instead of
             # discarding the whole target
             a0, b0 = present[0]
-            rng = np.random.default_rng(0)
 
             def fresh():
                 return (rng.standard_normal(a0.shape).astype(np.float32)

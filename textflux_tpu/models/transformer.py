@@ -678,6 +678,14 @@ def tp_permute_flux_params(params, cfg: FluxConfig, tp: int):
     if any(x % tp for x in (d, m, h)):
         raise ValueError(
             f"hidden={d}, mlp={m}, heads={h} must all be divisible by tp={tp}")
+    if "_tp_layout" in params:
+        # re-permuting an already device-major tree (e.g. resharding the
+        # same pipeline at a different tensor size) would scramble it with
+        # no error at apply time
+        raise ValueError(
+            f"params are already tp-permuted (tp="
+            f"{int(np.asarray(params['_tp_layout']))}); reload the "
+            f"checkpoint to change the tensor-parallel degree to {tp}")
 
     def permute_out(p, idx):
         from textflux_tpu.io.quantize import OUT_AXIS_KEYS

@@ -388,10 +388,17 @@ class FillPipeline:
 
         self.mesh = mesh
         tp = mesh.shape["tensor"]
-        if tp > 1 and getattr(self, "_tp", 1) != tp:
+        prev_tp = getattr(self, "_tp", 1)
+        if tp > 1 and prev_tp == 1:
             self.flux_params = transformer.tp_permute_flux_params(
                 self.flux_params, self.flux_cfg, tp)
             self._tp = tp
+        elif prev_tp not in (1, tp):
+            # the weights are device-major for prev_tp; re-permuting for a
+            # different tp would silently scramble attention
+            raise ValueError(
+                f"pipeline already tensor-permuted for tp={prev_tp}; reload "
+                f"the checkpoint to serve at tp={tp}")
         if quantize:
             from textflux_tpu.io.quantize import quantize_tree
 

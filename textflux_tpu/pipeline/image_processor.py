@@ -26,10 +26,12 @@ def to_pil(image: ImageLike) -> Image.Image:
         return image
     arr = np.asarray(image)
     if arr.dtype != np.uint8:
-        if arr.min() < 0.0:
+        if arr.min() < -0.05:
             # pipeline outputs (output_type="np") are [-1, 1]; clipping them
             # to [0, 1] would crush the whole negative half to black when an
-            # output is fed back in for iterative editing
+            # output is fed back in for iterative editing. The -0.05 margin
+            # keeps [0, 1]-range images with slight negative ringing (lanczos
+            # overshoot from a caller's own resize) on the clip path.
             arr = (arr + 1.0) / 2.0
         arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
     if arr.ndim == 4 and arr.shape[0] == 1:
