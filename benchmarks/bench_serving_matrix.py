@@ -53,8 +53,10 @@ def bench(mode, batch):
     gc.collect()
     return t
 
+# --spot: B=1 rows only (the recapture harness's quick pass)
+SPOT = "--spot" in sys.argv
 for mode in ("weight_only", "w8a8", "nf4", "mixed"):
-    for batch in ((1, 4, 8) if mode in ("weight_only", "w8a8") else (1,)):
+    for batch in ((1,) if (SPOT or mode in ("nf4", "mixed")) else (1, 4, 8)):
         try:
             t = bench(mode, batch)
             print(f"mode={mode:12s} B={batch}: step={t*1000:8.2f} ms  per-img={t*1000/batch:8.2f} ms  30-step s/img={30*t/batch:6.3f}")

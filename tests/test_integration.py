@@ -150,6 +150,24 @@ def test_train_cli_lora(tiny_checkpoint, tmp_path, rng):
     assert (out_dir / "pytorch_lora_weights.safetensors").exists()
 
 
+def test_train_cli_rejects_indivisible_batch(tiny_checkpoint, tmp_path):
+    """The batch axis shards over (data, fsdp); a global batch that does not
+    divide their product must fail fast with guidance, not deep inside
+    device_put mid-training."""
+    import pytest
+
+    from textflux_tpu.cli.train import main
+
+    with pytest.raises(SystemExit, match="divisible by"):
+        main([
+            "--model", tiny_checkpoint,
+            "--data-dir", str(tmp_path),
+            "--output-dir", str(tmp_path / "out"),
+            "--mesh", "1,2,1", "--train-batch-size", "1",
+            "--max-train-steps", "1",
+        ])
+
+
 def test_staged_residency_matches_resident(tiny_checkpoint, rng):
     """defer_transformer: encode -> release_text_encoders -> load_transformer
     -> __call__(text_embeds) must equal the all-resident pipeline bitwise

@@ -90,6 +90,56 @@ def test_sharded_train_step_matches_single_device(rng):
         np.asarray(ref_params["double"]["img_qkv"]["w"]), atol=1e-5)
 
 
+def test_sharded_qlora_train_step_matches_single_device(rng):
+    """`cli/train.py --mode lora --quantize-base --mesh`: the grouped-LoRA
+    train step over an int8 frozen base on a (2,2,2) mesh (fsdp>=2, tp>=2)
+    must match the single-device step. Factors replicate per
+    ``PT.lora_param_specs``; the base shards per flux_param_specs adapted to
+    the quantized leaf layout."""
+    from textflux_tpu.io.quantize import quantize_tree
+
+    tc = TR.TrainConfig(grad_accum=2, excluded_single_layers=(), learning_rate=1e-3,
+                        weighting_scheme="none", compute_dtype="float32",
+                        mode="lora", lora_rank=2, lora_alpha=2.0)
+    base = quantize_tree(init_flux_params(jax.random.PRNGKey(0), FLUX_TINY),
+                         min_size=0, mode="weight_only")
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    lora = TR.lora_init(jax.random.PRNGKey(2), base, FLUX_TINY, tc.lora_rank)
+    tx = TR.make_optimizer(tc)
+    step = TR.make_lora_train_step(FLUX_TINY, VAE_TINY, tc, tx, attn_impl="xla")
+    opt_state = tx.init(lora)
+
+    batch = {
+        "pixel_values": jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32) * 0.3,
+        "mask": jnp.asarray((rng.random((2, 4, 32, 32)) > 0.8), jnp.float32),
+        "txt": jnp.asarray(rng.standard_normal((2, 4, 6, 32)), jnp.float32),
+        "pooled": jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    ref_lora, _, ref_metrics = jax.jit(step)(base, lora, opt_state, vae_params, batch, key)
+
+    mesh = PT.make_mesh((2, 2, 2))
+    specs = PT.adapt_specs_to_params(PT.flux_param_specs(FLUX_TINY), base)
+    with mesh:
+        sharded_base = PT.shard_tree(base, specs, mesh)
+        sharded_lora = PT.shard_tree(lora, PT.lora_param_specs(lora), mesh)
+        sharded_vae = PT.replicate_tree(vae_params, mesh)
+        bspec = NamedSharding(mesh, P(None, ("data", "fsdp")))
+        sharded_batch = jax.tree.map(lambda x: jax.device_put(x, bspec), batch)
+        out_lora, _, metrics = jax.jit(step)(
+            sharded_base, sharded_lora, tx.init(sharded_lora), sharded_vae,
+            sharded_batch, key)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4)
+    for group in ("double", "single"):
+        for name, f in ref_lora[group].items():
+            for k in ("a", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(out_lora[group][name][k]), np.asarray(f[k]),
+                    atol=2e-5, err_msg=f"{group}/{name}/{k}")
+
+
 def test_adapt_specs_handles_lora_carrying_leaves():
     """A QLoRA serving tree (parallel lora_a/lora_b branches, quantized or
     not, plus the _tp_layout marker) must shard without pytree-structure

@@ -255,6 +255,12 @@ def main(argv=None):
     else:
         shape = (1, n, 1)
     mesh = PT.make_mesh(shape)
+    dp = shape[0] * shape[1]
+    if args.train_batch_size % dp:
+        raise SystemExit(
+            f"--train-batch-size {args.train_batch_size} must be divisible by "
+            f"the mesh's data x fsdp product ({shape[0]}x{shape[1]}={dp}): "
+            f"the batch axis shards over both mesh axes")
 
     # models
     t_path = args.transformer or os.path.join(args.model, "transformer")
@@ -308,6 +314,9 @@ def main(argv=None):
                             "a": jnp.asarray(f["a"]), "b": jnp.asarray(f["b"])}
                         n += 1
                 print(f"warm-started {n} LoRA targets from {args.pretrained_lora}")
+            # replicated factors over the sharded base (lora_param_specs
+            # documents the decision); opt_state inherits the replication
+            lora = PT.shard_tree(lora, PT.lora_param_specs(lora), mesh)
             tx = TR.make_optimizer(tc)
             opt_state = tx.init(lora)
             # donate the lora/opt_state buffers (reassigned every step)

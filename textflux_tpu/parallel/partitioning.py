@@ -152,6 +152,22 @@ def adapt_specs_to_params(specs, params):
     return rec(specs, params)
 
 
+def lora_param_specs(lora):
+    """PartitionSpec tree for a training-time LoRA factor tree (lora_init).
+
+    Decision (documented here deliberately): LoRA factors REPLICATE over the
+    whole mesh while the frozen base stays sharded per ``flux_param_specs``.
+    Rationale: the rank-r factors are ~1.7 GiB fp32 at rank 128 — small enough
+    to replicate — and their rank axis (r=128) rarely divides the tensor axis
+    cleanly against the grouped per-module layout; replicated factors make the
+    lora branch ``y += (x@A)@B`` local on every shard (A's in-dim matmul
+    all-reduces with the base matmul's existing row-parallel reduction), and
+    the optimizer update is purely local. Matches the serving-side choice in
+    ``adapt_specs_to_params`` (lora_a/lora_b/lora_ga/lora_gb -> P()).
+    """
+    return spec_like(lora, P())
+
+
 def batch_spec() -> P:
     """Batch dims shard over (data, fsdp) jointly (fsdp doubles as extra DP)."""
     return P(("data", "fsdp"))
