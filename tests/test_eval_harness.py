@@ -115,6 +115,80 @@ def test_run_eval_cli_batched_matches_per_item(monkeypatch, two_bucket_fixture):
         assert report["done"] == 5 and report["failed"] == 0
 
 
+@pytest.fixture()
+def multiline_fixture(tmp_path, rng):
+    """4 items with TWO annotated regions each, across two resolution
+    buckets (landscape -> horizontal concat, portrait -> vertical)."""
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    data = {"data_list": []}
+    sizes = [(128, 160), (128, 160), (160, 96), (160, 96)]
+    for i, (h, w) in enumerate(sizes):
+        name = f"m_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(imgs / name)
+        data["data_list"].append({
+            "img_name": name,
+            "annotations": [
+                {"text": f"top{i}", "polygon": [[10, 10], [w - 10, 10], [w - 10, 40], [10, 40]]},
+                {"text": f"bot{i}", "polygon": [[10, h - 50], [w - 10, h - 50], [w - 10, h - 15], [10, h - 15]]},
+            ],
+        })
+    jp = tmp_path / "gt.json"
+    jp.write_text(json.dumps(data))
+    return str(jp), str(imgs), tmp_path
+
+
+def test_prepare_item_multiline_geometry(multiline_fixture):
+    from textflux_tpu.cli.run_eval import prepare_item_multiline
+
+    jp, imgs, _ = multiline_fixture
+    items = load_items(jp)
+
+    # landscape 160x128 -> vertical stack (canvas 160x256), both regions masked
+    prep = prepare_item_multiline(items[0], imgs, load_font(size=40))
+    assert prep["direction"] == "vertical"
+    assert prep["size"] == (160, 256)
+    assert prep["words"] == ["top0", "bot0"]
+    m = np.array(prep["mask"].convert("L"))
+    assert m[: m.shape[0] // 2].max() == 0          # glyph half fully kept
+    scene = m[m.shape[0] // 2:]
+    assert scene[20, 80] > 0 and scene[100, 80] > 0  # both regions masked
+    # the glyph half carries both rendered texts (non-black in both regions)
+    g = np.array(prep["image"].convert("L"))[: m.shape[0] // 2]
+    assert g[10:40].max() > 0 and g[78:113].max() > 0
+
+    # portrait 96x160 -> horizontal concat
+    prep2 = prepare_item_multiline(items[2], imgs, load_font(size=40))
+    assert prep2["direction"] == "horizontal"
+    assert prep2["size"] == (192, 160)
+
+
+def test_run_eval_cli_multiline_bucketed(monkeypatch, multiline_fixture):
+    """--multiline routes full-canvas conditioning through the bucketed batch
+    path; all regions are edited and the crop returns the scene half."""
+    import os
+
+    jp, imgs, tmp = multiline_fixture
+    _run_eval_cli(monkeypatch, jp, imgs, tmp / "ml", 2, extra=("--multiline",))
+    report = json.loads((tmp / "ml" / "failures.json").read_text())
+    assert report["done"] == 4 and report["failed"] == 0
+    names = sorted(os.listdir(tmp / "ml" / "cropped_images"))
+    assert names == [f"m_{i}.png" for i in range(4)]
+    # cropped scene halves match the original scene size
+    a = Image.open(tmp / "ml" / "cropped_images" / "m_0.png")
+    assert a.size == (160, 128)
+    b = Image.open(tmp / "ml" / "cropped_images" / "m_2.png")
+    assert b.size == (96, 160)
+
+    # multi-region scoring through the OCR harness (--all-regions protocol)
+    texts = iter(["top0", "bot0", "top1", "wrong", "top2", "bot2", "top3", "bot3"])
+    metrics = evaluate_directory(
+        str(tmp / "ml" / "cropped_images"), jp, lambda crop: next(texts),
+        all_regions=True)
+    assert metrics["count"] == 8
+    assert metrics["seq_acc"] == pytest.approx(7 / 8)
+
+
 def test_run_eval_cli_records_failures(monkeypatch, two_bucket_fixture, tmp_path):
     """A broken item lands in failures.json with context; the rest complete."""
     jp, imgs, tmp = two_bucket_fixture

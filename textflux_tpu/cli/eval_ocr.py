@@ -43,15 +43,22 @@ def load_charset(path: str) -> dict:
 
 
 def evaluate_directory(images_dir: str, json_path: str, recognizer,
-                       char2id=None) -> dict:
+                       char2id=None, all_regions: bool = False) -> dict:
+    """Score generated images against gt annotations. Default: first
+    annotation per item (the reference's single-line editing protocol,
+    eval_dgocr.py). all_regions=True scores EVERY annotated region — the
+    multi-line protocol (`run_eval --multiline` writes all regions)."""
     with open(json_path, encoding="utf-8") as f:
         data = json.load(f)
 
     preds, gts, skipped = [], [], 0
     for item in data.get("data_list", []):
-        anns = item.get("annotations") or []
-        if not anns or not anns[0].get("text") or not anns[0].get("polygon"):
+        anns = [a for a in (item.get("annotations") or [])
+                if a.get("text") and a.get("polygon")]
+        if not anns:
             continue
+        if not all_regions:
+            anns = anns[:1]
         img_path = os.path.join(images_dir, item["img_name"])
         if not os.path.exists(img_path):
             # run_eval flattens subdirectory img_names (run_eval.safe_name)
@@ -62,12 +69,13 @@ def evaluate_directory(images_dir: str, json_path: str, recognizer,
             skipped += 1
             continue
         image = np.asarray(Image.open(img_path).convert("RGB"))
-        try:
-            crop = crop_polygon_region(image, anns[0]["polygon"])
-            preds.append(str(recognizer(crop)).strip())
-        except Exception:
-            preds.append("")
-        gts.append(anns[0]["text"].strip())
+        for ann in anns:
+            try:
+                crop = crop_polygon_region(image, ann["polygon"])
+                preds.append(str(recognizer(crop)).strip())
+            except Exception:
+                preds.append("")
+            gts.append(ann["text"].strip())
 
     metrics = evaluate_texts(preds, gts, char2id)
     metrics["skipped"] = skipped
@@ -85,12 +93,15 @@ def main():
                         "then runs over char IDs with OOV collapsed, the "
                         "reference protocol (eval_dgocr.py:291-293)")
     p.add_argument("--report", default=None)
+    p.add_argument("--all-regions", action="store_true",
+                   help="score every annotated region per item (multi-line "
+                        "protocol); default scores the first only")
     args = p.parse_args()
 
     recognizer = load_recognizer(args.recognizer)
     char2id = load_charset(args.charset) if args.charset else None
     metrics = evaluate_directory(args.images_dir, args.json_path, recognizer,
-                                 char2id)
+                                 char2id, all_regions=args.all_regions)
     print(json.dumps(metrics, ensure_ascii=False))
     if args.report:
         with open(args.report, "w") as f:

@@ -40,7 +40,13 @@ except Exception:  # pragma: no cover
 
 from textflux_tpu.data.native import fill_poly as native_fill_poly
 from textflux_tpu.pipeline.prompts import build_prompts
-from textflux_tpu.rendering import draw_glyph_flexible, load_font
+from textflux_tpu.rendering import (
+    concat_multiline,
+    crop_multiline_result,
+    draw_glyph_flexible,
+    load_font,
+    render_glyph_regions,
+)
 
 
 def safe_name(img_name: str) -> str:
@@ -98,6 +104,41 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
         "size": (new_w, new_h),
         "orig_h": h,
         "strip_h": strip_h,
+    }
+
+
+def prepare_item_multiline(item: dict, images_dir: str, font):
+    """Multi-line conditioning for one eval item (the original TextFlux
+    protocol, /root/reference/run_inference.py:409-441): every annotation's
+    glyph is rendered INTO its polygon region on a scene-sized canvas
+    (render_glyph_regions — explicit polygons, so annotation order is exact),
+    which concatenates with the scene along the shorter axis. The mask covers
+    all regions; the prompt lists all texts."""
+    anns = [a for a in item["annotations"] if a.get("text") and a.get("polygon")]
+    texts = [a["text"] for a in anns]
+    polygons = [np.asarray(a["polygon"], np.float32) for a in anns]
+    img = Image.open(os.path.join(images_dir, item["img_name"])).convert("RGB")
+    w, h = img.size
+
+    mask1 = np.zeros((h, w), np.uint8)
+    for poly in polygons:
+        native_fill_poly(mask1, poly, 255)
+    mask = Image.fromarray(np.repeat(mask1[..., None], 3, axis=-1))
+    rendered = render_glyph_regions((w, h), polygons, texts, font)
+    combined, combined_mask, direction = concat_multiline(img, mask, rendered)
+
+    cw, ch = combined.size
+    new_w, new_h = (cw // 32) * 32, (ch // 32) * 32
+    prompt, prompt_2 = build_prompts(texts)
+    return {
+        "img_name": safe_name(item["img_name"]),
+        "image": combined.resize((new_w, new_h)),
+        "mask": combined_mask.resize((new_w, new_h)),
+        "words": texts,
+        "prompt": prompt,
+        "prompt_2": prompt_2,
+        "size": (new_w, new_h),
+        "direction": direction,
     }
 
 
@@ -186,6 +227,11 @@ def main(argv=None):
     p.add_argument("--overshoot-c", type=float, default=None,
                    help="AMO overshoot strength (reference set_c; default 2.0)")
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
+    p.add_argument("--multiline", action="store_true",
+                   help="original full-canvas conditioning: render every "
+                        "annotation's glyph into its polygon region and "
+                        "concat canvas+scene (reference run_inference.py:"
+                        "409-441); default is the beta single-line strip")
     p.add_argument("--font", default=None)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--skip-existing", action="store_true",
@@ -232,7 +278,8 @@ def main(argv=None):
         quantize_t5=False if args.no_quantize_t5 else None,
         defer_transformer=args.staged_text)
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
-    font = load_font(args.font, 60)
+    # reference font sizing: 40 for in-region multi-line glyphs, 60 for strips
+    font = load_font(args.font, 40 if args.multiline else 60)
 
     full_dir = os.path.join(args.output_dir, "full_images")
     crop_dir = os.path.join(args.output_dir, "cropped_images")
@@ -260,8 +307,11 @@ def main(argv=None):
     prepared = []
     for item in items:
         try:
-            prepared.append(prepare_item(
-                item, args.original_images_dir, font, args.text_height_ratio))
+            prepared.append(
+                prepare_item_multiline(item, args.original_images_dir, font)
+                if args.multiline else
+                prepare_item(item, args.original_images_dir, font,
+                             args.text_height_ratio))
         except Exception as e:
             failures.append({"img_name": item.get("img_name"), "error": repr(e)})
             print(f"FAILED prepare {item.get('img_name')}: {e}")
@@ -300,8 +350,10 @@ def main(argv=None):
 
     def save_fn(prep, result):
         result.save(os.path.join(full_dir, prep["img_name"]))
-        crop_scene(result, prep["orig_h"], prep["strip_h"]).save(
-            os.path.join(crop_dir, prep["img_name"]))
+        cropped = (crop_multiline_result(result, prep["direction"])
+                   if "direction" in prep else
+                   crop_scene(result, prep["orig_h"], prep["strip_h"]))
+        cropped.save(os.path.join(crop_dir, prep["img_name"]))
         saved.append(prep["img_name"])
 
     ctx = mesh if mesh is not None else contextlib.nullcontext()

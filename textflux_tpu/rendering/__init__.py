@@ -5,6 +5,7 @@ from textflux_tpu.rendering.glyph import (  # noqa: F401
     draw_glyph_strip,
     draw_glyph_polygon,
     render_glyph_multi,
+    render_glyph_regions,
     insert_spaces,
 )
 from textflux_tpu.rendering.compose import (  # noqa: F401

@@ -246,16 +246,32 @@ def render_glyph_multi(
     texts: Sequence[str],
     font=None,
 ) -> Image.Image:
-    """One rotated glyph per mask region, alpha-composited on black."""
+    """One rotated glyph per mask region, alpha-composited on black.
+
+    Regions come from the mask's connected components (top-down/left-right);
+    when explicit polygons are available (eval items carry them), use
+    ``render_glyph_regions`` directly — it cannot mis-order regions."""
+    return render_glyph_regions(original.size, mask_regions(mask), texts, font)
+
+
+def render_glyph_regions(
+    size,
+    polygons: Sequence[np.ndarray],
+    texts: Sequence[str],
+    font=None,
+) -> Image.Image:
+    """Explicit-polygon variant of ``render_glyph_multi``: polygon i gets
+    text i, so annotation order is preserved exactly (the mask-derived path
+    re-orders by component position)."""
     font = font or load_font(size=40)
-    out = Image.new("RGBA", original.size, (0, 0, 0, 0))
-    for polygon, text in zip(mask_regions(mask), texts):
+    out = Image.new("RGBA", size, (0, 0, 0, 0))
+    for polygon, text in zip(polygons, texts):
         text = text.strip()
         if not text:
             continue
         rendered = draw_glyph_polygon(
-            font, text, polygon,
-            width=original.size[0], height=original.size[1],
+            font, text, np.asarray(polygon),
+            width=size[0], height=size[1],
             scale_factor=1,
         )
         out = Image.alpha_composite(out, Image.fromarray(rendered, "RGBA"))
