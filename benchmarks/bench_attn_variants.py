@@ -43,10 +43,10 @@ mods = flux_mods(params, cfg, vec)
 ORIG_FN = FA.flash_attention_qk_norm_rope
 
 
-def bench(label, block_q=None, block_k=None, hoist_k=None):
+def bench(label, block_q=None, block_k=None, hoist_k=None, q_rows=None):
     # the model imports the kernel from the module at call time, so patching
     # the module attribute reroutes every block's attention call
-    if block_q is None and block_k is None and hoist_k is None:
+    if block_q is None and block_k is None and hoist_k is None and q_rows is None:
         FA.flash_attention_qk_norm_rope = ORIG_FN
     else:
         def patched(q, k, v, cos, sin, qs, ks, **kw):
@@ -56,6 +56,8 @@ def bench(label, block_q=None, block_k=None, hoist_k=None):
                 kw["block_k"] = block_k
             if hoist_k is not None:
                 kw["hoist_k"] = hoist_k
+            if q_rows is not None:
+                kw["q_rows"] = q_rows
             return ORIG_FN(q, k, v, cos, sin, qs, ks, **kw)
 
         FA.flash_attention_qk_norm_rope = patched
@@ -79,13 +81,21 @@ def bench(label, block_q=None, block_k=None, hoist_k=None):
 
 if __name__ == "__main__":
     bench("auto (848/848 exact-fit, hoisted K) [baseline]")
-    # bk=1696 runs the softmax in ONE k-iteration: no online rescale chain
-    # (alpha mults of the fp32 acc between PV matmuls) at all
-    for bq, bk in ((848, 1696), (1696, 1696), (1696, 848), (1696, 424),
-                   (848, 424), (424, 424), (1696, 212), (848, 212)):
-        try:
-            bench(f"block_q={bq} block_k={bk}", block_q=bq, block_k=bk)
-        except Exception as e:
-            print(f"block_q={bq} block_k={bk}: FAILED {type(e).__name__}: {str(e)[:120]}")
-    bench("auto, hoist off", hoist_k=False)
+    # the round-3 block sweep ((848,1696)...(848,212), hoist off) measured
+    # flat-to-worse and is recorded in ARCHITECTURE.md — not re-run here;
+    # re-enable rows from git history if the kernel structure changes.
+    if os.environ.get("ATTN_AB_FULL_SWEEP"):
+        for bq, bk in ((848, 1696), (1696, 1696), (1696, 848), (1696, 424),
+                       (848, 424), (424, 424), (1696, 212), (848, 212)):
+            try:
+                bench(f"block_q={bq} block_k={bk}", block_q=bq, block_k=bk)
+            except Exception as e:
+                print(f"block_q={bq} block_k={bk}: FAILED {type(e).__name__}: {str(e)[:120]}")
+        bench("auto, hoist off", hoist_k=False)
+    # round-4 measured non-win (VERDICT item 8): q_rows>1 — multiple
+    # independent softmax chains per program sharing the K prep (cross-row
+    # MXU/VPU overlap). Measured on-chip 2026-08-18: q_rows=2 at 424-row
+    # blocks 20.5-20.7 ms vs 19.9-20.1 baseline (~3% LOSS); 848-row and
+    # q_rows>=4 variants fail to compile (Mosaic). The kernel-side
+    # implementation lives in git history at this commit's parent.
     bench("auto re-check [baseline]")
