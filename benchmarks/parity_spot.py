@@ -26,18 +26,36 @@ print("backend:", jax.default_backend())
 
 REL_L2_BUDGET = 3e-2
 T_TXT = 512
-# (lat_h, lat_w) -> S = lat_h/2 * lat_w/2 + 512:
+# (lat_h, lat_w) -> S = lat_h/2 * lat_w/2 + 512; blocks: None = kernel auto.
 #   (74, 64)   -> 1696  (512px single-line canvas, single-pass kernels)
 #   (256, 128) -> 8704  (2048x1024 multi-line canvas, chunked K/V path)
-CONFIGS = [((74, 64), "single-pass"), ((256, 128), "chunked")]
+# The 8704 config pins 544/544 blocks: the auto choice (1088/544 — faster,
+# kept for serving) fits fill.py's mods-precomputed scan body but blows the
+# 16 MiB scoped-VMEM stack by 1.13M inside THIS harness's raw-mods
+# flux_apply program (AdaLN mods computed in-body add co-resident
+# prefetch buffers; measured r4, bench_attn_xl_blocks.py). Numerics are
+# block-shape-independent, so the parity check is unaffected.
+CONFIGS = [((74, 64), "single-pass", None),
+           ((256, 128), "chunked", (544, 544))]
 
 cfg = FluxConfig(num_double_layers=2, num_single_layers=2)
 params = jax.tree.map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
     init_flux_params(jax.random.PRNGKey(0), cfg))
 
+from textflux_tpu.ops import flash_attention as FA
+
+ORIG_FN = FA.flash_attention_qk_norm_rope
+
 failed = False
-for (lat_h, lat_w), label in CONFIGS:
+for (lat_h, lat_w), label, blocks in CONFIGS:
+    if blocks is None:
+        FA.flash_attention_qk_norm_rope = ORIG_FN
+    else:
+        def patched(q, k, v, c, s, qs, ks, _b=blocks, **kw):
+            kw["block_q"], kw["block_k"] = _b
+            return ORIG_FN(q, k, v, c, s, qs, ks, **kw)
+        FA.flash_attention_qk_norm_rope = patched
     t_img = (lat_h // 2) * (lat_w // 2)
     ids = np.concatenate(
         [packing.text_ids(T_TXT), packing.latent_image_ids(lat_h, lat_w)], 0)
