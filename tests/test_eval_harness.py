@@ -45,6 +45,36 @@ def test_prepare_item_geometry(gt_fixture):
     assert cropped.size[0] == 160 and cropped.size[1] < 128
 
 
+def test_prepare_item_dataset_strip_matches_trainer(tmp_path):
+    """--strip-renderer dataset must reproduce the TRAINING conditioning
+    byte-for-byte: same renderer (mode-'1' binary), same min(w//6, h) height
+    clamp — a from-scratch model is evaluated on the distribution it saw
+    (image_datasets/dataset.py:62 vs run_inference.py:123)."""
+    from textflux_tpu.rendering import draw_glyph_strip
+
+    # snap-exact geometry (the closed-loop protocol's): 64x54 scene,
+    # strip_h = min(64//6, 54) = 10, canvas 64x64 — //32 snap is identity,
+    # so the prepared canvas contains the raw strip bytes
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    Image.new("RGB", (64, 54), (210, 210, 210)).save(imgs / "a.png")
+    item = {"img_name": "a.png",
+            "annotations": [{"text": "EEE",
+                             "polygon": [[6, 16], [58, 16], [58, 38], [6, 38]]}]}
+    font = load_font(size=60)
+    prep = prepare_item(item, str(imgs), font, 0.15625, "dataset")
+    assert prep["strip_h"] == 10 and prep["size"] == (64, 64)
+    expected = np.asarray(draw_glyph_strip(font, "EEE", 64, 54).convert("RGB"))
+    got = np.asarray(prep["image"])[:10]
+    assert np.array_equal(got, expected)
+    # and it is the BINARY renderer (no antialiasing midtones), unlike the
+    # default inference strip
+    assert set(np.unique(expected).tolist()) <= {0, 255}
+    prep_inf = prepare_item(item, str(imgs), font, 0.15625)
+    inf_strip = np.unique(np.asarray(prep_inf["image"])[:10])
+    assert len(inf_strip) > 2
+
+
 def test_ocr_harness_with_stub_recognizer(gt_fixture):
     jp, imgs, _ = gt_fixture
     mapping = iter(["gt0", "gt1", "wrong"])

@@ -363,6 +363,37 @@ def test_loss_runs_in_bf16_compute(rng):
     assert not f32_dots, f"f32 matmuls leaked into the bf16 loss: {f32_dots}"
 
 
+def test_schedule_shift_flag_plumbs_to_density():
+    """--schedule-shift must reach the training sigma warp: with the shift
+    matched to the serving schedule (e^mu of the dynamic shift), a
+    from-scratch model trains on the sigma trajectory it will be sampled on.
+    Round-4 closed-loop failure mode: FLUX's default 3.0 put ~8% of training
+    mass below sigma 0.25, leaving the back half of the eval trajectory
+    untrained."""
+    import math
+
+    from textflux_tpu.cli.train import parse_args
+    from textflux_tpu.ops import samplers
+
+    args = parse_args(["--model", "m", "--output-dir", "o",
+                       "--schedule-shift", "1.648721"])
+    assert args.schedule_shift == pytest.approx(1.648721)
+
+    # matched-shift invariant: train_sigmas with shift=e^mu lands on the same
+    # warped schedule make_schedule(dynamic) uses at that token count
+    mu = samplers.calculate_shift(256)
+    s = math.exp(mu)
+    grid = samplers.make_schedule(8, 256)  # dynamic shift at 256 tokens
+    u = 1.0 - (np.arange(8, dtype=np.float32) / 8.0 + 0.0005)  # schedule pts
+    trained = np.asarray(samplers.train_sigmas(jnp.asarray(u), shift=s))
+    expect = s * (1.0 - u) / (1.0 + (s - 1.0) * (1.0 - u))
+    assert np.allclose(trained, expect, atol=1e-3)
+    # and the dynamic eval grid is exactly the static-s warp of linspace
+    lin = np.linspace(1.0, 1.0 / 8, 8)
+    assert np.allclose(np.asarray(grid)[:8], s * lin / (1 + (s - 1) * lin),
+                       atol=1e-6)
+
+
 def test_lr_schedule_reference_shapes():
     """cosine_with_restarts / polynomial match the diffusers get_scheduler
     semantics the reference delegates to (parser_helper.py --lr_num_cycles /

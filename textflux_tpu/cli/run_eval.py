@@ -44,6 +44,7 @@ from textflux_tpu.rendering import (
     concat_multiline,
     crop_multiline_result,
     draw_glyph_flexible,
+    draw_glyph_strip,
     load_font,
     render_glyph_regions,
 )
@@ -68,17 +69,29 @@ def load_items(json_path: str) -> List[dict]:
     return items
 
 
-def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float):
+def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float,
+                 strip_renderer: str = "inference"):
     """Build the conditioning canvas for one eval item. Returns a dict with the
-    combined image/mask, prompts, and crop geometry."""
+    combined image/mask, prompts, and crop geometry.
+
+    strip_renderer: "inference" renders the antialiased RGB strip the
+    reference inference scripts use (run_inference.py:123); "dataset" renders
+    the hard-binary mode-'1' strip of the reference DATASET pipeline
+    (image_datasets/dataset.py:62) — the conditioning distribution a model
+    trained by cli.train actually saw. The published checkpoints tolerate the
+    antialiasing gap; a model trained from scratch on little data may not."""
     ann = item["annotations"][0]
     text = ann["text"]
     polygon = np.asarray(ann["polygon"], np.int32)
     img = Image.open(os.path.join(images_dir, item["img_name"])).convert("RGB")
     w, h = img.size
 
-    strip_h = int(w * text_height_ratio)
-    strip = draw_glyph_flexible(font, text, w, strip_h)
+    if strip_renderer == "dataset":
+        strip = draw_glyph_strip(font, text, w, h).convert("RGB")
+        strip_h = strip.height
+    else:
+        strip_h = int(w * text_height_ratio)
+        strip = draw_glyph_flexible(font, text, w, strip_h)
 
     # native scanline fill (C++ or cv2 under the hood; raises if neither is
     # available — a silently empty mask would make every edit a no-op that
@@ -221,12 +234,22 @@ def main(argv=None):
     p.add_argument("--original-images-dir", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--max-sequence-length", type=int, default=512,
+                   help="T5 token length (reference run_inference.py:516-521; "
+                        "must match the trained model's text stream length)")
     p.add_argument("--guidance-scale", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
     p.add_argument("--overshoot-c", type=float, default=None,
                    help="AMO overshoot strength (reference set_c; default 2.0)")
     p.add_argument("--text-height-ratio", type=float, default=0.15625)
+    p.add_argument("--strip-renderer", choices=["inference", "dataset"],
+                   default="inference",
+                   help="single-line strip style: 'inference' = antialiased "
+                        "RGB (reference run_inference.py:123); 'dataset' = "
+                        "hard-binary mode-'1' with the min(w//6,h) height "
+                        "clamp (image_datasets/dataset.py:62) — match a "
+                        "from-scratch cli.train model's conditioning")
     p.add_argument("--multiline", action="store_true",
                    help="original full-canvas conditioning: render every "
                         "annotation's glyph into its polygon region and "
@@ -272,11 +295,14 @@ def main(argv=None):
         shape = tuple(int(x) for x in args.mesh.split(","))
         mesh = PT.make_mesh(shape)
 
+    from textflux_tpu.config import PipelineConfig
+
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
         quantize=args.quantize_mode if args.quantize else False, mesh=mesh,
         quantize_t5=False if args.no_quantize_t5 else None,
-        defer_transformer=args.staged_text)
+        defer_transformer=args.staged_text,
+        pipe_cfg=PipelineConfig(max_sequence_length=args.max_sequence_length))
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     # reference font sizing: 40 for in-region multi-line glyphs, 60 for strips
     font = load_font(args.font, 40 if args.multiline else 60)
@@ -311,7 +337,7 @@ def main(argv=None):
                 prepare_item_multiline(item, args.original_images_dir, font)
                 if args.multiline else
                 prepare_item(item, args.original_images_dir, font,
-                             args.text_height_ratio))
+                             args.text_height_ratio, args.strip_renderer))
         except Exception as e:
             failures.append({"img_name": item.get("img_name"), "error": repr(e)})
             print(f"FAILED prepare {item.get('img_name')}: {e}")

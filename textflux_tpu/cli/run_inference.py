@@ -114,6 +114,8 @@ def main():
     p.add_argument("--mask", required=True)
     p.add_argument("--words", required=True)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--max-sequence-length", type=int, default=512,
+                   help="T5 token length (reference run_inference.py:516-521)")
     p.add_argument("--guidance-scale", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--scheduler", choices=["default", "overshoot"], default="default")
@@ -147,11 +149,14 @@ def main():
 
     from textflux_tpu.pipeline.fill import FillPipeline
 
+    from textflux_tpu.config import PipelineConfig
+
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
         quantize=args.quantize_mode if args.quantize else False,
         quantize_t5=False if args.no_quantize_t5 else None,
-        defer_transformer=args.staged_text)
+        defer_transformer=args.staged_text,
+        pipe_cfg=PipelineConfig(max_sequence_length=args.max_sequence_length))
     sampler = "overshoot" if args.scheduler == "overshoot" else "euler"
     result, cropped, rendered, original, mask = run(
         pipe, args.image, args.mask, args.words,

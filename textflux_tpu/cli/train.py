@@ -100,6 +100,14 @@ def parse_args(argv=None):
     p.add_argument("--grad-accum", type=int, default=8)
     p.add_argument("--guidance-scale", type=float, default=1.0)
     p.add_argument("--weighting-scheme", default="none")
+    p.add_argument("--schedule-shift", type=float, default=3.0,
+                   help="static timestep-schedule shift for the training "
+                        "noise density (the reference reads it from the "
+                        "scheduler config, scripts/train.py:975-981; FLUX "
+                        "ships 3.0). Set it to e^mu of the serving "
+                        "resolution's dynamic shift to align the training "
+                        "density with the inference sigma trajectory when "
+                        "training from scratch")
     p.add_argument("--cond-dropout-prob", type=float, default=0.0,
                    help="dropout on the packed 320-ch conditioning "
                         "(reference --dropout_prob)")
@@ -232,6 +240,7 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
         guidance_scale=args.guidance_scale,
         weighting_scheme=args.weighting_scheme,
+        schedule_shift=args.schedule_shift,
         logit_mean=args.logit_mean,
         logit_std=args.logit_std,
         mode_scale=args.mode_scale,
