@@ -81,10 +81,21 @@ def chain_len(m, k, n):
 
 
 def _fold(y, k):
-    """(M, N) -> (M, K) by slice or tile (cheap, shape-only)."""
+    """(M, N) -> (M, K) consuming EVERY output column.
+
+    A plain `y[:, :k]` slice lets XLA dead-code-eliminate the unused output
+    columns of the matmul itself (observed: "188% of peak" on the N=3*K qkv
+    shape — the compiler only computed K of the N columns). Group-summing
+    columns keeps the chain data-dependent on the whole product at O(M*N)
+    extra adds, negligible vs the 2*M*K*N matmul."""
     n = y.shape[-1]
-    if n >= k:
-        return y[:, :k]
+    if n == k:
+        return y
+    if n > k:
+        pad = (-n) % k
+        if pad:
+            y = jnp.pad(y, ((0, 0), (0, pad)))
+        return y.reshape(y.shape[0], -1, k).sum(axis=1)
     reps = -(-k // n)
     return jnp.tile(y, (1, reps))[:, :k]
 
@@ -207,6 +218,11 @@ def main():
             print(f"{name:14s} ({m:5d}x{k:5d}->{n:5d}) {variant:5s}: "
                   f"{t*1e6:8.1f} us/matmul  {eff*100:5.1f}% of peak  "
                   f"(SOL {sol_us:.1f} us, L={length})", flush=True)
+            if eff > 1.02:
+                raise RuntimeError(
+                    f"{name}/{variant}: {eff*100:.1f}% of peak is "
+                    "impossible — the chain is being partially "
+                    "dead-code-eliminated or mistimed; result discarded")
         rows[name] = row
         total_pure += row["pure_us"] * count
         total_w8a8 += row["w8a8_us"] * count
