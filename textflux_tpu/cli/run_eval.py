@@ -61,6 +61,13 @@ def safe_name(img_name: str) -> str:
 def load_items(json_path: str) -> List[dict]:
     with open(json_path, encoding="utf-8") as f:
         data = json.load(f)
+    if not isinstance(data, dict) or "data_list" not in data:
+        # reference format (scripts/run_eval.py:47-51): {"data_list": [...]}
+        raise ValueError(
+            f"{json_path}: expected the reference eval format "
+            "{'data_list': [{'img_name', 'annotations': [{'text', "
+            "'polygon'}]}, ...]}; got "
+            f"{type(data).__name__} at top level")
     items = []
     for it in data.get("data_list", []):
         anns = it.get("annotations") or []
