@@ -7,7 +7,6 @@
 set -euo pipefail
 
 export MODEL_NAME="${MODEL_NAME:-/path/to/FLUX.1-Fill-dev}"
-export INSTANCE_DIR="${INSTANCE_DIR:-cat}"
 export OUTPUT_DIR="${OUTPUT_DIR:-outputs/textflux-beta}"
 
 EXTRA=()
@@ -15,10 +14,15 @@ if [[ -n "${PRETRAINED_TRANSFORMER:-}" ]]; then
   EXTRA+=(--transformer "$PRETRAINED_TRANSFORMER")
 fi
 
+# DATA_JSON/DATA_IMAGES select the AnyWord single-line dataset family — the
+# reference's single-line DynamicConcatDataset path behind --instance_data_dir
+# (see MIGRATION.md). For the pre-combined multi-line folder layout use
+# DATA_DIR=... and swap --data-json/--data-images for --data-dir.
 python -m textflux_tpu.cli.train \
   --model "$MODEL_NAME" \
   ${EXTRA[@]+"${EXTRA[@]}"} \
-  --data-dir "$INSTANCE_DIR" \
+  --data-json "${DATA_JSON:-/path/to/anyword/data.json}" \
+  --data-images "${DATA_IMAGES:-/path/to/anyword/images}" \
   --output-dir "$OUTPUT_DIR" \
   --mode attn \
   --mixed-precision bf16 \

@@ -136,3 +136,32 @@ def test_resize_align_corners_matches_torch(torch_oracle, rng):
                         align_corners=True)[0].numpy().transpose(1, 2, 0)
     got = _resize_bilinear_align_corners(img, 48, 160)
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)
+
+
+def test_module_level_recognize_entry_point(oracle_rec, tmp_path, monkeypatch):
+    """scripts/eval_ocr.sh points eval_ocr at ppocr:recognize — the factory
+    must exist, locate weights via PPOCR_* env vars, and return a string."""
+    import torch
+
+    import textflux_tpu.evaluation.ppocr as ppocr_mod
+
+    # missing weights -> loud FileNotFoundError naming the env vars
+    monkeypatch.setattr(ppocr_mod, "_DEFAULT_RECOGNIZER", None)
+    monkeypatch.setenv("PPOCR_CKPT", str(tmp_path / "nope.pth"))
+    monkeypatch.setenv("PPOCR_DICT", str(tmp_path / "nope.txt"))
+    with pytest.raises(FileNotFoundError, match="PPOCR_CKPT"):
+        ppocr_mod.recognize(np.zeros((8, 24, 3), np.uint8))
+
+    # provisioned weights -> lazily builds the recognizer and decodes
+    ckpt = tmp_path / "rec.pth"
+    torch.save(oracle_rec.state_dict(), str(ckpt))
+    cdict = tmp_path / "dict.txt"
+    cdict.write_text("\n".join(chr(ord("a") + i) for i in range(95)) + "\n")
+    monkeypatch.setenv("PPOCR_CKPT", str(ckpt))
+    monkeypatch.setenv("PPOCR_DICT", str(cdict))
+    monkeypatch.setenv("PPOCR_LANG", "en")
+    crop = (np.random.default_rng(0).random((32, 96, 3)) * 255).astype(np.uint8)
+    out = ppocr_mod.recognize(crop)
+    assert isinstance(out, str)
+    assert ppocr_mod._DEFAULT_RECOGNIZER is not None
+    monkeypatch.setattr(ppocr_mod, "_DEFAULT_RECOGNIZER", None)

@@ -402,3 +402,46 @@ class PPOCRRecognizer:
         x = jnp.asarray(preprocess_crop(crop, self.cfg.image_shape))
         logits = np.asarray(self._apply(self.params, x))
         return ctc_greedy_decode(logits, self.charset)[0]
+
+
+# ---------------------------------------------------------------------------
+# Module-level entry point for `eval_ocr --recognizer ...ppocr:recognize`
+# ---------------------------------------------------------------------------
+
+_DEFAULT_RECOGNIZER: Optional[PPOCRRecognizer] = None
+
+
+def recognize(crop: np.ndarray) -> str:
+    """crop -> text, lazily building a PPOCRRecognizer on first call.
+
+    This is the entry point `scripts/eval_ocr.sh` points the eval_ocr CLI at
+    (`--recognizer textflux_tpu.evaluation.ppocr:recognize`). The torch
+    checkpoint + char dict are located via environment variables, because the
+    reference repo ships the PP-OCRv3 weights as missing blobs
+    (/root/reference/.MISSING_LARGE_BLOBS:1-2) and they must be provisioned
+    locally:
+
+      PPOCR_CKPT  path to the torch .pth state dict (RecModel layout,
+                  eval/ocr_recog/RecModel.py)  [default: ./eval/ocr_weights/ppv3_rec.pth]
+      PPOCR_DICT  char-dict txt                 [default: ./eval/ocr_weights/ppocr_keys_v1.txt]
+      PPOCR_LANG  'ch' or 'en'                  [default: ch]
+    """
+    global _DEFAULT_RECOGNIZER
+    if _DEFAULT_RECOGNIZER is None:
+        import os
+
+        ckpt = os.environ.get("PPOCR_CKPT", "./eval/ocr_weights/ppv3_rec.pth")
+        cdict = os.environ.get("PPOCR_DICT", "./eval/ocr_weights/ppocr_keys_v1.txt")
+        lang = os.environ.get("PPOCR_LANG", "ch")
+        missing = [p for p in (ckpt, cdict) if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                "PP-OCRv3 recognizer weights not found: "
+                + ", ".join(missing)
+                + ". Set PPOCR_CKPT / PPOCR_DICT (the reference distributes "
+                "these separately; see .MISSING_LARGE_BLOBS), or pass a "
+                "different --recognizer entry point to eval_ocr."
+            )
+        _DEFAULT_RECOGNIZER = PPOCRRecognizer.from_torch_checkpoint(
+            ckpt, cdict, lang=lang)
+    return _DEFAULT_RECOGNIZER(crop)
