@@ -29,14 +29,15 @@ T_TXT = 512
 # (lat_h, lat_w) -> S = lat_h/2 * lat_w/2 + 512; blocks: None = kernel auto.
 #   (74, 64)   -> 1696  (512px single-line canvas, single-pass kernels)
 #   (256, 128) -> 8704  (2048x1024 multi-line canvas, chunked K/V path)
-# The 8704 config pins 544/544 blocks: the auto choice (1088/544 — faster,
-# kept for serving) fits fill.py's mods-precomputed scan body but blows the
-# 16 MiB scoped-VMEM stack by 1.13M inside THIS harness's raw-mods
-# flux_apply program (AdaLN mods computed in-body add co-resident
-# prefetch buffers; measured r4, bench_attn_xl_blocks.py). Numerics are
-# block-shape-independent, so the parity check is unaffected.
+# The 8704 config runs under the "raw_mods_scan" VMEM context: this harness
+# computes AdaLN mods in-body, whose prefetch buffers shrink the kernel's
+# scoped-VMEM envelope vs fill.py's mods-precomputed scan (the serving auto
+# 1088/544 OOMs here by 1.13M, measured r4). The envelope guard
+# (ops/vmem_budget.py) now makes that choice — it reproduces the 544/544
+# pin this file used to hard-code. Numerics are block-shape-independent,
+# so the parity check is unaffected.
 CONFIGS = [((74, 64), "single-pass", None),
-           ((256, 128), "chunked", (544, 544))]
+           ((256, 128), "chunked", "raw_mods_scan")]
 
 cfg = FluxConfig(num_double_layers=2, num_single_layers=2)
 params = jax.tree.map(
@@ -48,12 +49,12 @@ from textflux_tpu.ops import flash_attention as FA
 ORIG_FN = FA.flash_attention_qk_norm_rope
 
 failed = False
-for (lat_h, lat_w), label, blocks in CONFIGS:
-    if blocks is None:
+for (lat_h, lat_w), label, vmem_ctx in CONFIGS:
+    if vmem_ctx is None:
         FA.flash_attention_qk_norm_rope = ORIG_FN
     else:
-        def patched(q, k, v, c, s, qs, ks, _b=blocks, **kw):
-            kw["block_q"], kw["block_k"] = _b
+        def patched(q, k, v, c, s, qs, ks, _ctx=vmem_ctx, **kw):
+            kw["vmem_context"] = _ctx
             return ORIG_FN(q, k, v, c, s, qs, ks, **kw)
         FA.flash_attention_qk_norm_rope = patched
     t_img = (lat_h // 2) * (lat_w // 2)

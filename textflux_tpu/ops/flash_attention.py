@@ -652,7 +652,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k",
-                                             "eps", "interpret", "hoist_k"))
+                                             "eps", "interpret", "hoist_k",
+                                             "vmem_context"))
 def flash_attention_qk_norm_rope(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -668,6 +669,7 @@ def flash_attention_qk_norm_rope(
     eps: float = 1e-6,
     interpret: Optional[bool] = None,
     hoist_k: Optional[bool] = None,
+    vmem_context: Optional[str] = None,
 ) -> jnp.ndarray:
     """Fully fused attention: per-head RMSNorm + rotate-half RoPE + online
     softmax, reading/writing the model's native BSHD layout directly (no
@@ -683,8 +685,28 @@ def flash_attention_qk_norm_rope(
       q_scale, k_scale: RMSNorm scales (already permuted): (D,) shared, or
         (S, D) row tables when the scale differs by sequence segment (the
         double-stream blocks use different txt/img norms).
+      vmem_context: optional name of the co-resident scan body this kernel
+        compiles inside (see ops.vmem_budget.CONTEXT_BYTES). When set, block
+        auto-selection respects the scoped-VMEM envelope of that program and
+        explicit blocks are validated at trace time (a clear ValueError with
+        a working suggestion instead of a Mosaic OOM).
     """
     b, s, h, d = q.shape
+    if vmem_context is not None:
+        # trace-time scoped-VMEM envelope guard (vmem_budget.py): with blocks
+        # unset, pick the fastest measured shape that fits the declared
+        # co-resident context; with explicit blocks, validate them and raise
+        # with a working suggestion instead of a Mosaic OOM at compile time
+        from textflux_tpu.ops.vmem_budget import (
+            check_fused_attention, pick_fused_blocks)
+
+        if block_q is None and block_k is None:
+            block_q, block_k = pick_fused_blocks(s, context=vmem_context, d=d)
+        else:
+            check_fused_attention(s, block_q or fused_auto_blocks(s)[0],
+                                  block_k or block_q or fused_auto_blocks(s)[1],
+                                  context=vmem_context,
+                                  hoist_k=bool(hoist_k), d=d)
     auto_q, auto_k = fused_auto_blocks(s)
     if block_q is None:
         block_q = auto_q
