@@ -78,12 +78,20 @@ def main():
     t_vae = bench_vae_roundtrip()
     print(f"vae roundtrip: {t_vae*1e3:.1f} ms", flush=True)
 
+    # T5 first, DiT after: bf16 T5-XXL (8.9 GiB) and the W8A8 DiT
+    # (11.1 GiB) cannot be co-resident on the 16 GiB chip (the serving
+    # path stages them for the same reason).
+    t5_times = {}
+    for L in LENGTHS:
+        t5_times[L] = bench_t5(L)
+        print(f"t5 encode L={L}: {t5_times[L]*1e3:.1f} ms", flush=True)
+
     rows = {}
     params = _zero_params(cfg, quantize="w8a8")
     t_mods = _bench_mods_precompute(cfg, params)
     for L in LENGTHS:
         t_step = _bench_step(cfg, params, T_IMG, L, "fused")
-        t_t5 = bench_t5(L)
+        t_t5 = t5_times[L]
         s_img = STEPS * t_step + t_mods + t_vae + t_t5 + CLIP_S
         mfu = step_flops(cfg, T_IMG, L) / t_step / 394e12
         rows[str(L)] = {
