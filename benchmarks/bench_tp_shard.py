@@ -240,7 +240,7 @@ def main():
         "captured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "tp": tp, "seq": SEQ, "quant": "w8a8",
         "shard_step_ms": round(t * 1e3, 2),
-        "budget_projdu": {"old_matmul_ms": 9.1, "old_attn_ms": 2.8},
+        "budget_proj": {"old_matmul_ms": 9.1, "old_attn_ms": 2.8},
         "ici_ms_audited": ici_ms,
         "per_step_ms": round(per_step, 2),
         "s_per_img_30steps": round(s_img, 3),

@@ -126,6 +126,12 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+# Measured single-pass ceiling of the PLAIN forward kernel (bf16 K/V only,
+# no fp32 rope/scale tables, hence higher than the fused kernel's).
+# vmem_budget.py imports this — the literal is defined once, here.
+SINGLE_PASS_MAX_PLAIN = 12288
+
+
 @functools.partial(jax.jit, static_argnames=("kv_len", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
@@ -147,9 +153,9 @@ def flash_attention(
     if block_q is None:
         # single-pass: minimize padding; chunked (s > limit): power-of-2
         # blocks that divide the fixed chunk
-        block_q = _auto_block(s) if s <= 12288 else 1024
+        block_q = _auto_block(s) if s <= SINGLE_PASS_MAX_PLAIN else 1024
     if block_k is None:
-        block_k = block_q if s <= 12288 else 512
+        block_k = block_q if s <= SINGLE_PASS_MAX_PLAIN else 512
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kv_len = int(kv_len) if kv_len is not None else s
@@ -168,7 +174,7 @@ def flash_attention(
     # sequence while K/V fit VMEM comfortably (single-pass kernel — chunking
     # measured 1.9x slower when unnecessary), streamed in 4096-token chunks
     # beyond that (the old whole-KV layout stopped compiling ~16k)
-    kv_chunk = sk if sk <= 12288 else 4096
+    kv_chunk = sk if sk <= SINGLE_PASS_MAX_PLAIN else 4096
     sk_pad = -(-sk // kv_chunk) * kv_chunk
     if sk_pad != sk:
         kt = _pad_to(kt, 2, kv_chunk)
@@ -516,12 +522,16 @@ def flash_attention_bwd(q, k, v, do, *, kv_len=None, block_q=None,
 CHUNKED_BLOCK_Q_HI = 1088
 CHUNKED_BLOCK_K_HI = 544
 CHUNK_TARGET = 2048
+# Measured single-pass ceiling of the fused whole-KV layout (compile limit;
+# chunking below it measured 3.5 -> 6.6 ms at S=4608). vmem_budget.py
+# imports this — keep the literal defined ONCE, here, next to the kernel.
+SINGLE_PASS_MAX_FUSED = 6144
 
 
 def fused_auto_blocks(s: int):
     """Auto (block_q, block_k) for flash_attention_qk_norm_rope at seq s:
-    single-pass exact-fit below 6144, capped exact-fit on the chunked path."""
-    if s <= 6144:
+    single-pass exact-fit below the ceiling, capped exact-fit beyond."""
+    if s <= SINGLE_PASS_MAX_FUSED:
         bq = _auto_block(s)
         return bq, bq
     bq = _auto_block(s, lo=512, hi=CHUNKED_BLOCK_Q_HI)
@@ -532,7 +542,7 @@ def pick_kv_chunk(sp: int, block_k: int) -> int:
     """Resident K/V chunk for the streaming path: a block_k multiple <= 4096
     (VMEM residency cap), preferring zero kv padding, then closeness to the
     measured-good CHUNK_TARGET."""
-    if sp <= 6144:
+    if sp <= SINGLE_PASS_MAX_FUSED:
         return sp
     if block_k > 4096:
         # the m=1 fallback would return kv_chunk=block_k and silently break
@@ -692,21 +702,13 @@ def flash_attention_qk_norm_rope(
         a working suggestion instead of a Mosaic OOM).
     """
     b, s, h, d = q.shape
-    if vmem_context is not None:
+    if vmem_context is not None and block_q is None and block_k is None:
         # trace-time scoped-VMEM envelope guard (vmem_budget.py): with blocks
         # unset, pick the fastest measured shape that fits the declared
-        # co-resident context; with explicit blocks, validate them and raise
-        # with a working suggestion instead of a Mosaic OOM at compile time
-        from textflux_tpu.ops.vmem_budget import (
-            check_fused_attention, pick_fused_blocks)
+        # co-resident context
+        from textflux_tpu.ops.vmem_budget import pick_fused_blocks
 
-        if block_q is None and block_k is None:
-            block_q, block_k = pick_fused_blocks(s, context=vmem_context, d=d)
-        else:
-            check_fused_attention(s, block_q or fused_auto_blocks(s)[0],
-                                  block_k or block_q or fused_auto_blocks(s)[1],
-                                  context=vmem_context,
-                                  hoist_k=bool(hoist_k), d=d)
+        block_q, block_k = pick_fused_blocks(s, context=vmem_context, d=d)
     auto_q, auto_k = fused_auto_blocks(s)
     if block_q is None:
         block_q = auto_q
@@ -722,6 +724,17 @@ def flash_attention_qk_norm_rope(
     scale = LOG2_E / math.sqrt(d)   # exp2 softmax: log2(e) folded in
     block_q = min(block_q, max(128, -(-s // 128) * 128))
     block_k = min(block_k, max(128, -(-s // 128) * 128))
+    if vmem_context is not None:
+        # validate the EFFECTIVE blocks — defaults resolved via the kernel's
+        # own rule and clamped to the padded sequence, exactly what the grid
+        # will use — so a partial explicit spec (block_q only) or an
+        # oversized-then-clamped block is judged on what actually runs.
+        # hoist_k passes through unresolved: None lets the estimator mirror
+        # the kernel's auto-hoist decision below.
+        from textflux_tpu.ops.vmem_budget import check_fused_attention
+
+        check_fused_attention(s, block_q, block_k, context=vmem_context,
+                              hoist_k=hoist_k, d=d)
 
     blk = max(block_q, block_k)
     # (B, S, H, D) -> (B, Sp, H*D): free reshape; heads become 128-col slices

@@ -57,13 +57,15 @@ CONTEXT_BYTES = {
     "raw_mods_scan": int(8.75 * MIB),
 }
 
-SINGLE_PASS_MAX_FUSED = 6144           # fused whole-KV compile ceiling
-SINGLE_PASS_MAX_PLAIN = 12288
-SINGLE_PASS_MAX_BWD = 8192
-
-
 def _pad_up(s: int, m: int) -> int:
     return -(-s // m) * m
+
+
+def _lanes(d: int) -> int:
+    """128-lane head columns occupied by a head of dim d, rounded UP — a
+    d<128 head still occupies a full lane group (flooring to 0 would zero
+    the dominant row-bytes term and silently disable the guard)."""
+    return -(-d // 128)
 
 
 def fused_attention_vmem(
@@ -72,13 +74,14 @@ def fused_attention_vmem(
     block_k: int,
     *,
     context: str = "none",
-    hoist_k: bool = False,
+    hoist_k: Optional[bool] = None,
     d: int = 128,
 ) -> int:
     """Estimated scoped-VMEM bytes for flash_attention_qk_norm_rope at
     sequence s with the given blocks (after the kernel's own padding and
     kv-chunk selection). `context` charges the co-resident scan body on the
-    chunked path."""
+    chunked path. hoist_k=None mirrors the kernel's auto-hoist rule so the
+    estimate covers what the kernel will actually do with these blocks."""
     from textflux_tpu.ops.flash_attention import pick_kv_chunk
 
     if context not in CONTEXT_BYTES:
@@ -88,10 +91,12 @@ def fused_attention_vmem(
     sp = _pad_up(s, blk)
     kv_chunk = pick_kv_chunk(sp, block_k)
     chunked = kv_chunk < _pad_up(sp, kv_chunk)
-    lane = d // 128  # head columns are 128 lanes; d=128 in every FLUX config
+    if hoist_k is None:  # the kernel's own hoist_ok rule
+        hoist_k = (not chunked and kv_chunk // block_k <= 8
+                   and kv_chunk <= 4096)
 
     est = _FIXED
-    est += _ROW_BYTES_FUSED * lane * (block_q + kv_chunk)   # refs + tables
+    est += _ROW_BYTES_FUSED * _lanes(d) * (block_q + kv_chunk)  # refs + tables
     est += _SCORE_BYTES * block_q * block_k                 # score/p tile
     if hoist_k:
         est += kv_chunk * d * 6                             # normed K + fp32 temp
@@ -106,7 +111,7 @@ def check_fused_attention(
     block_k: int,
     *,
     context: str = "none",
-    hoist_k: bool = False,
+    hoist_k: Optional[bool] = None,
     d: int = 128,
 ) -> int:
     """Raise ValueError (with a known-good suggestion) when the estimated
@@ -164,12 +169,14 @@ def plain_attention_vmem(s: int, block_q: int, block_k: int, *,
     """Estimate for the plain (non-fused) forward kernel: bf16 K/V refs, no
     fp32 rope/scale tables. Single-pass ceiling calibrates to the measured
     12288 (15.6 MiB estimated — borderline by design, it WAS the ceiling)."""
+    from textflux_tpu.ops.flash_attention import SINGLE_PASS_MAX_PLAIN
+
     blk = max(block_q, block_k)
     sp = _pad_up(s, blk)
-    kv_chunk = sp if sp <= 12288 else 4096
+    kv_chunk = sp if sp <= SINGLE_PASS_MAX_PLAIN else 4096
     est = _FIXED
     # constant-index whole-KV blocks are not double-buffered across the grid
-    est += _ROW_BYTES_PLAIN * (d // 128) * kv_chunk          # k+v (bf16)
+    est += _ROW_BYTES_PLAIN * _lanes(d) * kv_chunk           # k+v (bf16)
     est += block_q * d * 12                                  # q/out + scratch
     est += _SCORE_BYTES * block_q * block_k
     est += int(2.0 * MIB)                                    # calibration
@@ -180,10 +187,12 @@ def bwd_attention_vmem(s: int, block_q: int, block_k: int, *,
                        d: int = 128) -> int:
     """Estimate for the backward dkv kernel (the widest of the three bwd
     passes: whole q/do chunks + 128-lane fp32 lse/dvec). Single-pass ceiling
-    calibrates to the measured 8192."""
+    calibrates to the measured 8192 (BWD_SINGLE_PASS_MAX_SEQ)."""
+    from textflux_tpu.ops.flash_attention import BWD_SINGLE_PASS_MAX_SEQ
+
     blk = max(block_q, block_k)
     sp = _pad_up(s, blk)
-    chunk = sp if sp <= SINGLE_PASS_MAX_BWD else 2048
+    chunk = sp if sp <= BWD_SINGLE_PASS_MAX_SEQ else 2048
     est = _FIXED
     est += chunk * d * 4                                     # q + do (bf16)
     est += chunk * 128 * 8                                   # lse + dvec fp32
