@@ -72,11 +72,16 @@ def step_flops(cfg, t_img: int, t_txt: int) -> float:
 
 
 def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True,
-                height=HEIGHT, width=WIDTH):
+                height=HEIGHT, width=WIDTH, batch=1):
     """Per-denoise-step time, as the pipeline runs it: the AdaLN modulation
     vectors are precomputed for the whole schedule (fill.py denoise), so the
     step consumes per-step mod slices. The once-per-image precompute cost is
-    measured separately by _bench_mods_precompute."""
+    measured separately by _bench_mods_precompute.
+
+    This is THE serving-step harness: benchmarks/bench_serving_matrix.py
+    imports it (batch=N rows) rather than carrying a copy that would
+    silently drift from the measured serving program (the zeroparams.py
+    docstring records exactly that failure mode for the params builder)."""
     import jax
     import jax.numpy as jnp
 
@@ -90,27 +95,27 @@ def _bench_step(cfg, params, t_img, t_txt, attn_impl, precompute_mods=True,
     table_fn = rope_tables_half if attn_impl == "fused" else rope_tables
     cos, sin = table_fn(ids, cfg.axes_dims_rope, cfg.rope_theta)
     cos, sin = jnp.asarray(cos), jnp.asarray(sin)
-    cond = jnp.zeros((1, t_img, cfg.in_channels - 64), jnp.bfloat16)
-    txt = jnp.zeros((1, t_txt, cfg.joint_dim), jnp.bfloat16)
-    pooled = jnp.zeros((1, cfg.pooled_dim), jnp.bfloat16)
-    guidance = jnp.full((1,), 30.0, jnp.float32)
+    cond = jnp.zeros((batch, t_img, cfg.in_channels - 64), jnp.bfloat16)
+    txt = jnp.zeros((batch, t_txt, cfg.joint_dim), jnp.bfloat16)
+    pooled = jnp.zeros((batch, cfg.pooled_dim), jnp.bfloat16)
+    guidance = jnp.full((batch,), 30.0, jnp.float32)
 
     mods = None
     if precompute_mods:
-        vec = flux_vec(params, cfg, jnp.full((1,), 0.5, jnp.bfloat16), guidance,
-                       pooled, jnp.bfloat16)
+        vec = flux_vec(params, cfg, jnp.full((batch,), 0.5, jnp.bfloat16),
+                       guidance, pooled, jnp.bfloat16)
         mods = flux_mods(params, cfg, vec)
 
     # params/cond/etc. must be jit ARGUMENTS: closed-over arrays lower as
     # captured constants, which the tunneled backend re-ships per compile
     def step_fn(params, cond, txt, pooled, guidance, cos, sin, mods, lat):
         v = flux_apply(params, cfg, jnp.concatenate([lat, cond], -1), txt, pooled,
-                       jnp.full((1,), 0.5, jnp.bfloat16), guidance, cos, sin,
+                       jnp.full((batch,), 0.5, jnp.bfloat16), guidance, cos, sin,
                        attn_impl=attn_impl, mods=mods)
         return samplers.euler_step(lat, v, 0.5, 0.45)
 
     jitted = jax.jit(step_fn)
-    lat0 = jnp.zeros((1, t_img, 64), jnp.bfloat16)
+    lat0 = jnp.zeros((batch, t_img, 64), jnp.bfloat16)
     return time_step(lambda lat: jitted(params, cond, txt, pooled, guidance, cos, sin, mods, lat),
                      lat0, iters_hi=8, iters_lo=2, repeats=2)
 
@@ -157,36 +162,53 @@ def _bench_mods_precompute(cfg, params, steps=STEPS):
 
 
 def bench_transformer_full_int8(t_img, t_txt, attn_impl, mode="weight_only",
-                                height=HEIGHT, width=WIDTH):
+                                height=HEIGHT, width=WIDTH,
+                                measure_mods=True):
+    """measure_mods=False skips the (latent-independent, mode/shape-invariant
+    at full depth) mods-precompute re-measurement: the weight-only/multiline/
+    XL calls were each re-jitting and re-slope-timing the identical quantity
+    through the tunnel only to discard it — extra compile requests, each an
+    independent chance to hit the wedge/die-mid-request failure modes."""
     from textflux_tpu.config import FluxConfig
 
     cfg = FluxConfig()
     params = _zero_params(cfg, quantize=mode)
     t = _bench_step(cfg, params, t_img, t_txt, attn_impl, height=height,
                     width=width)
-    t_mods = _bench_mods_precompute(cfg, params)
+    t_mods = _bench_mods_precompute(cfg, params) if measure_mods else None
     del params
     gc.collect()
     return t, t_mods
 
 
+def _solve_depth_plane(depths, vals):
+    """Exact solve of t = D*td + S*ts + c from three affinely independent
+    (D, S) points. The intercept matters: without it the depth-independent
+    per-step cost (input embeddings, final norm+proj, euler update) is
+    folded into td/ts and counted ~5.7x instead of 1x at 19+38."""
+    A = np.array([[d, s, 1.0] for d, s in depths])
+    b = np.array([vals[k] for k in depths])
+    td, ts, c = np.linalg.solve(A, b)
+    return td, ts, c
+
+
 def bench_transformer_extrapolated(t_img, t_txt, attn_impl):
     from textflux_tpu.config import FluxConfig
 
-    depths = [(2, 8), (6, 4)]  # linearly independent in (D, S)
-    times = {}
+    depths = [(2, 8), (6, 4), (4, 12)]  # affinely independent in (D, S)
+    times, mods = {}, {}
     for nd, ns in depths:
         cfg = FluxConfig(num_double_layers=nd, num_single_layers=ns)
         params = _zero_params(cfg, quantize=False)
         times[(nd, ns)] = _bench_step(cfg, params, t_img, t_txt, attn_impl)
+        # the fallback headline must include the per-image mods precompute
+        # too (the direct path does); extrapolate it the same way
+        mods[(nd, ns)] = _bench_mods_precompute(cfg, params)
         del params
         gc.collect()
-    (d1, s1), (d2, s2) = depths
-    t1, t2 = times[(d1, s1)], times[(d2, s2)]
-    det = d1 * s2 - d2 * s1
-    td = (t1 * s2 - t2 * s1) / det
-    ts = (d1 * t2 - d2 * t1) / det
-    return 19 * td + 38 * ts, times
+    td, ts, c = _solve_depth_plane(depths, times)
+    mtd, mts, mc = _solve_depth_plane(depths, mods)
+    return 19 * td + 38 * ts + c, 19 * mtd + 38 * mts + mc, times
 
 
 def bench_vae_roundtrip(height=HEIGHT, width=WIDTH, tiled=False):
@@ -300,13 +322,23 @@ def main():
     t_mods = 0.0
     try:
         t_step, t_mods = bench_transformer_full_int8(t_img, T_TXT, attn, mode="w8a8")
-        wo_step, _ = bench_transformer_full_int8(t_img, T_TXT, attn, mode="weight_only")
-        extra["transformer_step_weight_only_s"] = round(wo_step, 5)
         extra["mods_precompute_per_image_s"] = round(t_mods, 5)
     except Exception as e:  # OOM or non-TPU: fall back to depth extrapolation
         mode = f"bf16_depth_extrapolated ({type(e).__name__})"
-        t_step, times = bench_transformer_extrapolated(t_img, T_TXT, attn)
+        t_step, t_mods, times = bench_transformer_extrapolated(t_img, T_TXT, attn)
         extra["measured_depths"] = {f"{k}": round(v, 5) for k, v in times.items()}
+        extra["mods_precompute_per_image_s"] = round(t_mods, 5)
+    if mode == "full_w8a8_direct":
+        # secondary row in its OWN try: a transient failure here (the
+        # documented die-mid-request compile mode) must not discard the
+        # already-successful W8A8 primary and rerun the whole bench in
+        # extrapolation mode
+        try:
+            wo_step, _ = bench_transformer_full_int8(
+                t_img, T_TXT, attn, mode="weight_only", measure_mods=False)
+            extra["transformer_step_weight_only_s"] = round(wo_step, 5)
+        except Exception as e:
+            extra["weight_only_error"] = f"{type(e).__name__}: {e}"[:200]
 
     t_vae = bench_vae_roundtrip()
     t_t5, t_clip = bench_text_encoders()
@@ -321,7 +353,7 @@ def main():
             t_img_ml = (ml_lat_h // 2) * (ml_lat_w // 2)
             t_step_ml, _ = bench_transformer_full_int8(
                 t_img_ml, T_TXT, attn, mode="w8a8",
-                height=ML_HEIGHT, width=ML_WIDTH)
+                height=ML_HEIGHT, width=ML_WIDTH, measure_mods=False)
             t_vae_ml = bench_vae_roundtrip(ML_HEIGHT, ML_WIDTH)
             s_ml = STEPS * t_step_ml + t_mods + t_vae_ml + t_t5 + t_clip
             extra["multiline_step_s"] = round(t_step_ml, 5)
@@ -343,7 +375,7 @@ def main():
             t_img_xl = (xl_lat_h // 2) * (xl_lat_w // 2)
             t_step_xl, _ = bench_transformer_full_int8(
                 t_img_xl, T_TXT, attn, mode="w8a8",
-                height=XL_HEIGHT, width=XL_WIDTH)
+                height=XL_HEIGHT, width=XL_WIDTH, measure_mods=False)
             t_vae_xl = bench_vae_roundtrip(XL_HEIGHT, XL_WIDTH, tiled=True)
             extra["xl_step_s"] = round(t_step_xl, 5)
             extra["xl_vae_tiled_s"] = round(t_vae_xl, 5)

@@ -24,7 +24,11 @@ from textflux_tpu.ops.rope import rope_tables, rope_tables_half
 
 print("backend:", jax.default_backend())
 
-REL_L2_BUDGET = 3e-2
+# With the fused arm fed half-permuted weights (true kernel numerics, no
+# convention mismatch) both regimes measure rel_l2 ~2.1e-3 on-chip; 1e-2
+# keeps ~5x headroom while catching the ~0.9%-class regressions the old
+# 3e-2 budget (set when the mismatch floor ate the margin) would pass.
+REL_L2_BUDGET = 1e-2
 T_TXT = 512
 # (lat_h, lat_w) -> S = lat_h/2 * lat_w/2 + 512; blocks: None = kernel auto.
 #   (74, 64)   -> 1696  (512px single-line canvas, single-pass kernels)
@@ -43,6 +47,14 @@ cfg = FluxConfig(num_double_layers=2, num_single_layers=2)
 params = jax.tree.map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
     init_flux_params(jax.random.PRNGKey(0), cfg))
+# the fused rotate-half path requires half-permuted qkv columns (exactly
+# what FillPipeline applies before attn_impl='fused'); feeding it raw
+# interleaved weights compares two RoPE CONVENTIONS, not kernel numerics —
+# measured ~0.87% rel-L2 of pure convention mismatch vs ~0.19% true kernel
+# error, eating most of the 3e-2 budget
+from textflux_tpu.models.transformer import half_permute_flux_params
+
+params_h = half_permute_flux_params(params, cfg)
 
 from textflux_tpu.ops import flash_attention as FA
 
@@ -78,7 +90,7 @@ for (lat_h, lat_w), label, vmem_ctx in CONFIGS:
         p, cfg, img, txt, pooled, sigma, guidance, c, s, attn_impl=impl),
         static_argnums=(3,))
     ref = np.asarray(run(params, cos_f, sin_f, "xla"), np.float32)
-    out = np.asarray(run(params, cos_h, sin_h, "fused"), np.float32)
+    out = np.asarray(run(params_h, cos_h, sin_h, "fused"), np.float32)
     rel = float(np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12))
     ok = rel <= REL_L2_BUDGET
     failed |= not ok

@@ -82,6 +82,70 @@ def test_bucketed_loader(anyword_fixture):
     assert len(b["prompts"]) == 2
 
 
+def test_bucketed_loader_epoch_reshuffle(anyword_fixture):
+    """Successive epochs must see DIFFERENT shuffle orders (a bare seed
+    replayed the same permutation every epoch), and set_epoch must reposition
+    the stream deterministically (resume: a restarted run at epoch k sees
+    epoch k's order, not epoch 0's)."""
+    json_path, img_root = anyword_fixture
+    ds = AnyWordSingleLineDataset([(json_path, img_root)], resolutions=[128],
+                                  seed=1)
+
+    def epoch_order(loader):
+        return [tuple(b["prompts"]) for b in loader]
+
+    loader = BucketedLoader(ds, batch_size=1, grad_accum=1, num_workers=1,
+                            seed=0)
+    e0, e1 = epoch_order(loader), epoch_order(loader)
+    assert e0 != e1, "epoch 1 replayed epoch 0's order"
+
+    fresh = BucketedLoader(ds, batch_size=1, grad_accum=1, num_workers=1,
+                           seed=0)
+    fresh.set_epoch(1)
+    assert epoch_order(fresh) == e1, "set_epoch(1) did not reproduce epoch 1"
+
+
+def test_bucketed_loader_abandoned_epoch_drains_threads(anyword_fixture):
+    """Breaking out of an epoch mid-iteration must not leave the batcher or
+    worker threads blocked forever in put() on a full queue (they would
+    strand a full prefetch queue of decoded samples per abandoned epoch)."""
+    import threading
+    import time
+
+    json_path, img_root = anyword_fixture
+    ds = AnyWordSingleLineDataset([(json_path, img_root)], resolutions=[128],
+                                  seed=1)
+    before = threading.active_count()
+    loader = BucketedLoader(ds, batch_size=1, grad_accum=1, num_workers=2,
+                            seed=0, prefetch=1)
+    it = iter(loader)
+    next(it)      # one batch; prefetch=1 leaves the batcher blocked in put
+    it.close()    # abandon the epoch (same as `break` in a for-loop)
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, (
+        f"{threading.active_count() - before} loader thread(s) still alive "
+        "after abandoning the epoch")
+
+
+def test_native_morphology_does_not_mutate_input(rng):
+    """dilate/erode must return a fresh array on BOTH backends: the C kernel
+    path used to write into the caller's (already-contiguous) mask while the
+    cv2 fallback returned a copy — environment-dependent aliasing."""
+    from textflux_tpu.data import native
+
+    mask = np.zeros((16, 16), np.uint8)
+    mask[6:10, 6:10] = 255
+    orig = mask.copy()
+    out = native.dilate(mask, 1)
+    assert np.array_equal(mask, orig), "dilate mutated its input"
+    assert out.sum() > orig.sum()
+    out2 = native.erode(mask, 1)
+    assert np.array_equal(mask, orig), "erode mutated its input"
+    assert out2.sum() < orig.sum()
+
+
 def test_bucketed_loader_no_mixed_shapes(tmp_path, rng):
     d = tmp_path / "set"
     (d / "mask").mkdir(parents=True)

@@ -83,6 +83,48 @@ def test_clip_parity(clip_oracle, rng):
     np.testing.assert_allclose(np.asarray(pooled), ref_pooled, atol=3e-5)
 
 
+def test_clip_parity_legacy_eos_config(rng):
+    """Stock FLUX text_encoder configs ship the historically wrong
+    eos_token_id=2 (pre transformers PR #24773); the reference pools at
+    argmax(input_ids) in that case — the EOT position, since EOT is the
+    vocab's largest id. Matching on id==2 (which never appears) would
+    silently pool BOS; this pins the legacy branch against the oracle."""
+    import torch
+    from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
+
+    tiny = CLIPTextConfig(
+        vocab_size=100, hidden_dim=32, num_layers=2, num_heads=4, mlp_dim=64,
+        max_positions=20, eos_token_id=2,
+    )
+    torch.manual_seed(5)
+    oracle = CLIPTextModel(HFConfig(
+        vocab_size=tiny.vocab_size, hidden_size=tiny.hidden_dim,
+        intermediate_size=tiny.mlp_dim, num_hidden_layers=tiny.num_layers,
+        num_attention_heads=tiny.num_heads,
+        max_position_embeddings=tiny.max_positions, hidden_act="quick_gelu",
+        eos_token_id=2, bos_token_id=98, pad_token_id=0,
+    )).eval()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x, np.float32)),
+                          convert_clip_state_dict(sd, tiny))
+
+    # realistic stream: BOS, body tokens, EOT (=vocab max id 99), padding —
+    # token id 2 itself never appears, exactly the real-checkpoint situation
+    ids = rng.integers(3, 90, size=(2, 12))
+    ids[:, 0] = 98
+    ids[0, 5] = 99
+    ids[0, 6:] = 0
+    ids[1, 11] = 99
+    with torch.no_grad():
+        out = oracle(torch.from_numpy(ids))
+        ref_pooled = out.pooler_output.numpy()
+    _, pooled = clip_encode(params, tiny, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled, atol=3e-5)
+    # and the pooled rows must differ from BOS pooling (the bug this guards)
+    h, _ = clip_encode(params, tiny, jnp.asarray(ids))
+    assert not np.allclose(np.asarray(pooled), np.asarray(h)[:, 0])
+
+
 def test_t5_buckets_match_reference():
     import torch
     from transformers.models.t5.modeling_t5 import T5Attention

@@ -132,15 +132,29 @@ def _normal_click(pipe):
     return cb
 
 
-def build_ui(pipe, *, beta: bool = False):
-    """Construct the gradio Blocks app (requires gradio, see SUPPORTED_GRADIO)."""
+def check_gradio():
+    """Fail fast (BEFORE the multi-GB pipeline loads) with an actionable
+    message when gradio is absent or 4.x+: gr.Image(tool="sketch") would
+    otherwise raise an opaque TypeError only after minutes of model load."""
     try:
         import gradio as gr
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:
         raise RuntimeError(
             "gradio is not installed; the demo callbacks remain usable "
-            "programmatically (demo_custom / demo_normal / demo_custom_beta)"
-        ) from e
+            "programmatically (demo_custom / demo_normal / demo_custom_beta). "
+            f"For the UI: pip install gradio=={SUPPORTED_GRADIO}") from e
+    major = int(str(getattr(gr, "__version__", "0")).split(".")[0] or 0)
+    if major != 3:
+        raise RuntimeError(
+            f"gradio {gr.__version__} is unsupported: the sketch-mask UI "
+            f"uses the 3.x `gr.Image(tool='sketch')` API (removed in "
+            f"gradio 4). pip install gradio=={SUPPORTED_GRADIO}")
+    return gr
+
+
+def build_ui(pipe, *, beta: bool = False):
+    """Construct the gradio Blocks app (requires gradio, see SUPPORTED_GRADIO)."""
+    gr = check_gradio()
 
     custom_fn = demo_custom_beta if beta else demo_custom
 
@@ -185,14 +199,17 @@ def main():
                         "For batch work on 16GB prefer the batch CLIs' "
                         "--staged-text")
     p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
-                   default="weight_only",
+                   default=None,
                    help="mixed = 4-bit block interiors + int8 IO boundary: "
                         "whole stack co-resident on 16GB at int8-class "
-                        "quality (recommended over plain nf4)")
+                        "quality (recommended over plain nf4). Passing a "
+                        "mode implies --quantize (default weight_only)")
     p.add_argument("--mesh", default=None,
                    help="dp,fsdp,tp — tensor-shard the DiT for co-resident "
                         "bf16 serving on a multi-chip slice")
     args = p.parse_args()
+
+    check_gradio()  # fail fast, before the multi-GB pipeline load
 
     from textflux_tpu.utils.tracking import enable_compilation_cache
     enable_compilation_cache()
@@ -206,7 +223,9 @@ def main():
         mesh = PT.make_mesh(tuple(int(x) for x in args.mesh.split(",")))
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize_mode if args.quantize else False, mesh=mesh)
+        quantize=((args.quantize_mode or "weight_only")
+                  if (args.quantize or args.quantize_mode) else False),
+        mesh=mesh)
     build_ui(pipe, beta=args.beta).launch(server_port=args.port)
 
 

@@ -68,12 +68,25 @@ def load_items(json_path: str) -> List[dict]:
             "{'data_list': [{'img_name', 'annotations': [{'text', "
             "'polygon'}]}, ...]}; got "
             f"{type(data).__name__} at top level")
-    items = []
+    items, dropped = [], 0
     for it in data.get("data_list", []):
-        anns = it.get("annotations") or []
-        if anns and anns[0].get("text") and anns[0].get("polygon"):
+        # an item stays if ANY annotation is usable (gating on annotations[0]
+        # alone silently excluded multiline items whose first region was
+        # malformed but whose others were fine); items with nothing usable
+        # are counted out loud rather than vanishing from the report's total
+        if valid_annotations(it):
             items.append(it)
+        else:
+            dropped += 1
+    if dropped:
+        print(f"warning: skipped {dropped} item(s) with no usable annotation "
+              f"(need both 'text' and 'polygon')")
     return items
+
+
+def valid_annotations(item: dict) -> List[dict]:
+    return [a for a in item.get("annotations") or []
+            if a.get("text") and a.get("polygon")]
 
 
 def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float,
@@ -87,7 +100,7 @@ def prepare_item(item: dict, images_dir: str, font, text_height_ratio: float,
     (image_datasets/dataset.py:62) — the conditioning distribution a model
     trained by cli.train actually saw. The published checkpoints tolerate the
     antialiasing gap; a model trained from scratch on little data may not."""
-    ann = item["annotations"][0]
+    ann = valid_annotations(item)[0]   # first USABLE region, not blindly [0]
     text = ann["text"]
     polygon = np.asarray(ann["polygon"], np.int32)
     img = Image.open(os.path.join(images_dir, item["img_name"])).convert("RGB")
@@ -134,7 +147,7 @@ def prepare_item_multiline(item: dict, images_dir: str, font):
     (render_glyph_regions — explicit polygons, so annotation order is exact),
     which concatenates with the scene along the shorter axis. The mask covers
     all regions; the prompt lists all texts."""
-    anns = [a for a in item["annotations"] if a.get("text") and a.get("polygon")]
+    anns = valid_annotations(item)
     texts = [a["text"] for a in anns]
     polygons = [np.asarray(a["polygon"], np.float32) for a in anns]
     img = Image.open(os.path.join(images_dir, item["img_name"])).convert("RGB")
@@ -275,9 +288,10 @@ def main(argv=None):
     p.add_argument("--quantize", action="store_true",
                    help="int8 DiT (fits 12B on one 16GB chip)")
     p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
-                   default="weight_only",
+                   default=None,
                    help="weight_only: dequant into bf16 matmuls (best quality); "
-                        "w8a8: int8 MXU matmuls (~1.4x faster step)")
+                        "w8a8: int8 MXU matmuls (~1.4x faster step). Passing "
+                        "a mode implies --quantize (default weight_only)")
     p.add_argument("--seq-pad-multiple", type=int, default=256,
                    help="bucket image-token counts to cut XLA recompiles across resolutions")
     p.add_argument("--staged-text", action="store_true",
@@ -306,7 +320,9 @@ def main(argv=None):
 
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize_mode if args.quantize else False, mesh=mesh,
+        quantize=((args.quantize_mode or "weight_only")
+                  if (args.quantize or args.quantize_mode) else False),
+        mesh=mesh,
         quantize_t5=False if args.no_quantize_t5 else None,
         defer_transformer=args.staged_text,
         pipe_cfg=PipelineConfig(max_sequence_length=args.max_sequence_length))

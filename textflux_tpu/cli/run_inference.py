@@ -125,9 +125,10 @@ def main():
     p.add_argument("--quantize", action="store_true",
                    help="int8 DiT (fits 12B on one 16GB chip)")
     p.add_argument("--quantize-mode", choices=["weight_only", "w8a8", "nf4", "mixed"],
-                   default="weight_only",
+                   default=None,
                    help="weight_only: dequant into bf16 matmuls (best quality); "
-                        "w8a8: int8 MXU matmuls (~1.4x faster step)")
+                        "w8a8: int8 MXU matmuls (~1.4x faster step). Passing "
+                        "a mode implies --quantize (default weight_only)")
     p.add_argument("--staged-text", action="store_true",
                    help="staged single-chip residency: encode the prompt, free "
                         "the text encoders, then load the DiT (the int8 12B "
@@ -153,7 +154,11 @@ def main():
 
     pipe = FillPipeline.from_pretrained(
         args.model, transformer_path=args.transformer, lora_path=args.lora,
-        quantize=args.quantize_mode if args.quantize else False,
+        # an explicit --quantize-mode implies --quantize: silently serving
+        # bf16 because only the mode was passed is a trap (late OOM on a
+        # 16GB chip, or unquantized numbers labeled as a quantized run)
+        quantize=((args.quantize_mode or "weight_only")
+                  if (args.quantize or args.quantize_mode) else False),
         quantize_t5=False if args.no_quantize_t5 else None,
         defer_transformer=args.staged_text,
         pipe_cfg=PipelineConfig(max_sequence_length=args.max_sequence_length))

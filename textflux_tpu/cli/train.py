@@ -273,14 +273,28 @@ def main(argv=None):
 
     # models
     t_path = args.transformer or os.path.join(args.model, "transformer")
-    params = load_flux_transformer(t_path, flux_cfg, dtype=jnp.float32 if args.mode != "lora" else jnp.bfloat16)
+    if args.quantize_base != "none" and args.mode != "lora":
+        raise SystemExit("--quantize-base requires --mode lora (full-param "
+                         "training cannot update a quantized base)")
     if args.quantize_base != "none":
-        if args.mode != "lora":
-            raise SystemExit("--quantize-base requires --mode lora (full-param "
-                             "training cannot update a quantized base)")
         from textflux_tpu.io.quantize import quantize_tree
 
-        params = quantize_tree(params, mode=args.quantize_base)
+        # host=True + leaf-wise quantize: each full-precision weight visits
+        # the device one at a time and only its quantized form stays — the
+        # 12B base never materializes whole in HBM (the single-chip QLoRA
+        # path; a plain load would commit ~24 GB bf16 to one 16 GB chip
+        # before quantize_tree ever ran)
+        params = quantize_tree(
+            load_flux_transformer(t_path, flux_cfg, host=True),
+            mode=args.quantize_base)
+    else:
+        # mesh-aware load: every weight device_puts straight onto its GSPMD
+        # shards, so fsdp-meshed full-param training never stages the whole
+        # model on device 0
+        params = load_flux_transformer(
+            t_path, flux_cfg,
+            dtype=jnp.float32 if args.mode != "lora" else jnp.bfloat16,
+            mesh=mesh if mesh.devices.size > 1 else None)
     vae_params = to_device_params(
         convert_vae_state_dict(load_safetensors_dir(os.path.join(args.model, "vae")), vae_cfg))
     clip_params = to_device_params(
@@ -347,7 +361,26 @@ def main(argv=None):
             state = {"params": params, "opt_state": opt_state, "step": 0}
 
         if args.resume_from_checkpoint:
-            restored = ckpt.restore(template=state)
+            # honor the VALUE: 'latest', a bare step number, or a checkpoint
+            # path ending in the step number (reference accelerate semantics
+            # — resuming a specific step must not silently load the latest)
+            want = args.resume_from_checkpoint
+            if want == "latest":
+                step_arg = None
+            else:
+                base = os.path.basename(os.path.normpath(want))
+                if not base.isdigit():
+                    raise SystemExit(
+                        f"--resume-from-checkpoint expects 'latest', a step "
+                        f"number, or a checkpoint path ending in the step "
+                        f"number; got {want!r}")
+                step_arg = int(base)
+            if step_arg is not None and step_arg not in ckpt.manager.all_steps():
+                raise SystemExit(
+                    f"no checkpoint at step {step_arg} under "
+                    f"{os.path.join(args.output_dir, 'checkpoints')} "
+                    f"(available: {sorted(ckpt.manager.all_steps())})")
+            restored = ckpt.restore(step_arg, template=state)
             if restored is not None:
                 state = restored
                 print(f"resumed from step {state['step']}")
@@ -380,8 +413,18 @@ def main(argv=None):
         except ValueError:  # not the main thread (in-process test harness)
             prev_sigterm = None
 
-        key = jax.random.PRNGKey(args.seed)
+        # per-step noise keys derive as fold_in(base, step) below: a pure
+        # function of (seed, step), so a resumed run CONTINUES the stream
+        # instead of replaying steps 1..N's noise/timestep draws
+        base_key = jax.random.PRNGKey(args.seed)
         step = int(state["step"])
+        if step:
+            # position the data order too: completed-epoch count (the exact
+            # intra-epoch position is undefined under racing prefetch
+            # workers, but the resumed epochs must not replay epoch 0)
+            batches_per_epoch = max(
+                1, len(dataset) // (args.train_batch_size * args.grad_accum))
+            loader.set_epoch(step // batches_per_epoch)
         log_path = os.path.join(args.output_dir, "train_log.jsonl")
         os.makedirs(args.output_dir, exist_ok=True)
         tracker = Tracker(args.output_dir, use_wandb=(args.report_to == "wandb"),
@@ -407,7 +450,7 @@ def main(argv=None):
                     "txt": jax.device_put(txt.reshape(a, b, *txt.shape[1:]), bspec),
                     "pooled": jax.device_put(pooled.reshape(a, b, -1), bspec),
                 }
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(base_key, step)
                 if args.mode == "lora":
                     state["lora"], state["opt_state"], metrics = step_fn(
                         params, state["lora"], state["opt_state"], vae_params,

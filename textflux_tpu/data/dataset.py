@@ -73,12 +73,15 @@ def _snap_bucket(img: Image.Image, quant: int) -> Image.Image:
     else:
         h2 = (h // 32) * 32
         w2 = max(quant, int(round(w / quant)) * quant)
-    if min(w, h) < quant // 2 + 1 and not _snap_bucket._warned:
-        # a short side far below the quant gets UPSCALED to it — at 64px
-        # that means a silent 2x stretch and a 2x token grid vs what the
-        # same data yields at quant=32 (the round-4 closed-loop failure:
-        # trained at 64x128, evaluated at 64x64, scored at chance). Warn
-        # once; pass --bucket-quant 32 for exact sizing on tiny canvases.
+    short, short2 = (h, h2) if w >= h else (w, w2)
+    if short2 > short and not _snap_bucket._warned:
+        # ANY upscale of the short side means the trained token grid differs
+        # from what the same data yields at quant=32 — at 64px a silent 2x
+        # stretch (the round-4 closed-loop failure: trained at 64x128,
+        # evaluated at 64x64, scored at chance), but a 100x80 canvas
+        # stretched 1.6x to 96x128 is the same failure class. Warn once on
+        # the first rounded-UP side, not only below quant/2; pass
+        # --bucket-quant 32 for exact sizing on small canvases.
         print(f"WARNING: bucket quant {quant} upscales a {w}x{h} canvas to "
               f"{w2}x{h2} (short side below the quant is stretched TO it); "
               "use --bucket-quant 32 if the serving canvas is this small",

@@ -85,7 +85,6 @@ class BucketedLoader:
         num_procs: int = 0,
         dataset_factory: Optional[Callable] = None,
         prefetch: int = 4,
-        drop_last: bool = True,
         worker_poll_s: float = 30.0,
     ):
         self.dataset = dataset
@@ -100,10 +99,15 @@ class BucketedLoader:
             raise ValueError("num_procs > 0 requires dataset_factory "
                              "(workers rebuild the dataset in-process)")
         self.prefetch = prefetch
-        self.drop_last = drop_last
         self.worker_poll_s = worker_poll_s  # dead-worker liveness interval
         self.samples_per_batch = batch_size * grad_accum
         self._pool = None  # persistent process pool (lazy; process mode)
+        self._epoch = 0    # folded into the shuffle seed; advanced per epoch
+
+    def set_epoch(self, epoch: int) -> None:
+        """Position the shuffle stream (resume support: pass the completed-
+        epoch count so a resumed run does not replay epoch 0's order)."""
+        self._epoch = int(epoch)
 
     def _ensure_pool(self):
         if self._pool is None:
@@ -147,12 +151,31 @@ class BucketedLoader:
 
     def __iter__(self) -> Iterator[dict]:
         order = list(range(len(self.dataset)))
-        rng = random.Random(self.seed)
+        # epoch folded into the seed: successive epochs see different orders
+        # (a bare seed replayed the SAME permutation every epoch), and
+        # set_epoch() lets a resumed run continue the stream instead of
+        # restarting at epoch 0
+        rng = random.Random(self.seed * 1_000_003 + self._epoch)
+        self._epoch += 1
         if self.shuffle:
             rng.shuffle(order)
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def _put_or_stop(q, item):
+            """Bounded put that observes `stop`: a consumer that abandons the
+            iterator mid-epoch (break out of the loop, exception) must not
+            leave the batcher/worker threads blocked forever in put() on a
+            full queue — each abandoned epoch would strand daemon threads
+            plus a full prefetch queue of decoded samples."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         if self.num_procs > 0:
             idx_q, sample_q, _ = self._ensure_pool()
@@ -169,6 +192,8 @@ class BucketedLoader:
                 DataLoader raises 'worker exited unexpectedly' here too."""
                 for _ in range(expected):
                     while True:
+                        if stop.is_set():   # consumer abandoned the epoch
+                            return
                         try:
                             s = sample_q.get(timeout=self.worker_poll_s)
                             break
@@ -194,12 +219,14 @@ class BucketedLoader:
                     try:
                         i = idx_q.get_nowait()
                     except queue.Empty:
-                        sample_q.put(None)
+                        _put_or_stop(sample_q, None)
                         return
                     try:
-                        sample_q.put(self.dataset[i])
+                        s = self.dataset[i]
                     except Exception:
                         continue
+                    if not _put_or_stop(sample_q, s):
+                        return
 
             threads = [threading.Thread(target=worker, daemon=True)
                        for _ in range(self.num_workers)]
@@ -208,8 +235,11 @@ class BucketedLoader:
 
             def drained(n_workers=self.num_workers):
                 finished = 0
-                while finished < n_workers:
-                    s = sample_q.get()
+                while finished < n_workers and not stop.is_set():
+                    try:
+                        s = sample_q.get(timeout=0.2)
+                    except queue.Empty:
+                        continue
                     if s is None:
                         finished += 1
                         continue
@@ -222,19 +252,19 @@ class BucketedLoader:
                     bucket = buckets[tuple(s["bucket"])]
                     bucket.append(s)
                     if len(bucket) == self.samples_per_batch:
-                        out_q.put(self._collate(bucket))
+                        if not _put_or_stop(out_q, self._collate(bucket)):
+                            return
                         buckets[tuple(s["bucket"])] = []
-                if not self.drop_last:
-                    for leftover in buckets.values():
-                        while leftover:
-                            take = leftover[: self.samples_per_batch]
-                            del leftover[: self.samples_per_batch]
-                            if len(take) == self.samples_per_batch:
-                                out_q.put(self._collate(take))
+                # leftovers (per-bucket partials < samples_per_batch) are
+                # dropped: batches must be shape-uniform for the jitted step
+                # (grad_accum x batch collate), so a smaller tail batch
+                # cannot be emitted. The old drop_last=False flag promised
+                # otherwise but was a provable no-op (a leftover list never
+                # holds a full batch) — removed rather than kept as a lie.
             except BaseException as e:  # forward to the consuming thread
-                out_q.put(e)
+                _put_or_stop(out_q, e)
                 return
-            out_q.put(None)
+            _put_or_stop(out_q, None)
 
         bt = threading.Thread(target=batcher, daemon=True)
         bt.start()

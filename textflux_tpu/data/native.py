@@ -90,7 +90,10 @@ def dilate(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
         import cv2
 
         return cv2.dilate(mask, np.ones((3, 3), np.uint8), iterations=iterations)
-    out = np.ascontiguousarray(mask)
+    # copy: the C kernel writes in place, but the cv2 fallback returns a
+    # fresh array — ascontiguousarray alone aliases an already-contiguous
+    # input, silently mutating the caller's mask only on hosts with g++
+    out = np.ascontiguousarray(mask).copy()
     lib.dilate3x3(_u8(out), out.shape[0], out.shape[1], iterations)
     return out
 
@@ -101,7 +104,7 @@ def erode(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
         import cv2
 
         return cv2.erode(mask, np.ones((3, 3), np.uint8), iterations=iterations)
-    out = np.ascontiguousarray(mask)
+    out = np.ascontiguousarray(mask).copy()   # see dilate: no caller aliasing
     lib.erode3x3(_u8(out), out.shape[0], out.shape[1], iterations)
     return out
 

@@ -276,14 +276,17 @@ def to_device_params(params, dtype=jnp.bfloat16, put: Callable = jnp.asarray):
 
 
 def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16,
-                          mesh=None, specs=None):
+                          mesh=None, specs=None, host=False):
     """Load a diffusers-format transformer checkpoint directory.
 
     Expects ``path`` to contain safetensors shards (and optionally config.json,
     which is validated against ``cfg`` when present). With ``mesh`` given,
     every weight device_puts straight from host memory onto its GSPMD shards
     (specs default to parallel.flux_param_specs) — the 12B model never
-    materializes whole on one device.
+    materializes whole on one device. With ``host=True`` the converted tree is
+    returned with numpy leaves, untouched by any device: the caller streams
+    leaves through the device itself (the single-chip QLoRA path quantizes
+    leaf-by-leaf so the full-precision 12B base never sits in HBM whole).
     """
     config_file = os.path.join(path, "config.json")
     if os.path.exists(config_file):
@@ -305,6 +308,8 @@ def load_flux_transformer(path: str, cfg: FluxConfig, dtype=jnp.bfloat16,
                 raise ValueError(f"checkpoint {k}={ref[k]} != config {ours}")
     sd = load_safetensors_dir(path)
     host_tree = convert_flux_state_dict(sd, cfg)
+    if host:
+        return host_tree
     if mesh is None:
         return to_device_params(host_tree, dtype=dtype)
 

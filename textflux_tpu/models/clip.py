@@ -83,6 +83,17 @@ def clip_encode(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray, *, dtype=jn
     h, _ = jax.lax.scan(body, h, params["layers"])
     h = _affine_ln(h, params["final_ln"], cfg.layer_norm_eps)
 
-    eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+    if cfg.eos_token_id == 2:
+        # Legacy configs (stock FLUX text_encoder ships eos_token_id=2, the
+        # historically wrong value from before transformers PR #24773): the
+        # reference pools at argmax(input_ids) — the EOT position, because
+        # EOT=49407 is the largest id in the CLIP vocab. Matching the
+        # equality branch below would find no id==2 and silently pool the
+        # BOS hidden state instead (transformers modeling_clip.py keeps the
+        # same special case for exactly this reason).
+        eos_pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32),
+                             axis=-1)
     pooled = h[jnp.arange(b), eos_pos]
     return h, pooled

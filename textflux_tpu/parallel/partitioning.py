@@ -29,14 +29,15 @@ MESH_AXES = ("data", "fsdp", "tensor")
 
 def make_mesh(shape: Optional[Tuple[int, int, int]] = None, devices=None) -> Mesh:
     """Create a ("data", "fsdp", "tensor") mesh. Default: all devices on fsdp."""
-    devices = devices if devices is not None else jax.devices()
+    explicit_devices = devices is not None
+    devices = devices if explicit_devices else jax.devices()
     n = len(devices)
     if shape is None:
         shape = (1, n, 1)
     need = int(np.prod(shape))
     if need > n:
         raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
-    if need < n and devices is None:
+    if need < n and not explicit_devices:
         import warnings
 
         warnings.warn(

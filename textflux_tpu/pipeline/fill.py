@@ -322,8 +322,17 @@ class FillPipeline:
         if text_embeds is None:
             if prompt is None or prompt_2 is None:
                 if words is None:
+                    if prompt is not None or prompt_2 is not None:
+                        # one prompt given, no words to derive the other from
+                        raise ValueError(
+                            "provide both prompt and prompt_2, or words to "
+                            "derive the missing one from")
                     raise ValueError("provide words, prompts, or text_embeds")
-                prompt, prompt_2 = build_prompts(words)
+                # derive only the MISSING prompt(s): an explicit override
+                # must never be silently replaced by the words template
+                auto_p, auto_p2 = build_prompts(words)
+                prompt = prompt if prompt is not None else auto_p
+                prompt_2 = prompt_2 if prompt_2 is not None else auto_p2
             pooled, txt = self.encode_prompts(prompt, prompt_2, dtype)
         else:
             pooled, txt = text_embeds

@@ -57,24 +57,42 @@ def _fit_font_size(font, text: str, width: int, height: int, max_font_size: int)
     return min(int(probe * ratio), max_font_size)
 
 
-def draw_glyph_flexible(
-    font, text: str, width: int, height: int, max_font_size: int = 140,
-) -> Image.Image:
-    """Centered single-line glyph on a black strip (inference variant:
-    max size bumps to 200 when width > 1280)."""
-    img = Image.new("RGB", (width, height), "black")
+def _draw_centered(font, text: str, width: int, height: int,
+                   max_font_size: int, *, mode: str = "RGB") -> Image.Image:
+    """Shared probe-fit-draw core of the three strip renderers below: black
+    canvas, fitted font size (min 10), centered anchor-mm draw. mode='1'
+    gives the hard-binary (no antialiasing) dataset distribution."""
+    fill = 1 if mode == "1" else "white"
+    img = Image.new(mode, (width, height), 0 if mode == "1" else "black")
     if not text or not text.strip():
         return img
-    if width > 1280:
-        max_font_size = 200
     size = max(_fit_font_size(font, text, width, height, max_font_size), 10)
     try:
         final_font = font.font_variant(size=size)
     except Exception:
         final_font = font
     ImageDraw.Draw(img).text((width / 2, height / 2), text, font=final_font,
-                             fill="white", anchor="mm")
+                             fill=fill, anchor="mm")
     return img
+
+
+def _dataset_caps(width: int, max_font_size: int) -> int:
+    """The dataset-family font cap steps: 140 -> 180 (>1280) -> 280 (>2048)."""
+    if width > 2048:
+        return 280
+    if width > 1280:
+        return 180
+    return max_font_size
+
+
+def draw_glyph_flexible(
+    font, text: str, width: int, height: int, max_font_size: int = 140,
+) -> Image.Image:
+    """Centered single-line glyph on a black strip (inference variant:
+    max size bumps to 200 when width > 1280)."""
+    if width > 1280:
+        max_font_size = 200
+    return _draw_centered(font, text, width, height, max_font_size)
 
 
 def draw_glyph_strip(
@@ -90,21 +108,9 @@ def draw_glyph_strip(
     are RGB with antialiasing: draw_glyph_flexible above.)"""
     width = max(width, 1)
     height = min(width // 6, height)
-    if not text or not text.strip():
-        return Image.new("RGB", (width, height), "black")
-    img = Image.new("1", (width, height), 0)
-    if width > 2048:
-        max_font_size = 280
-    elif width > 1280:
-        max_font_size = 180
-    size = max(_fit_font_size(font, text, width, height, max_font_size), 10)
-    try:
-        final_font = font.font_variant(size=size)
-    except Exception:
-        final_font = font
-    ImageDraw.Draw(img).text((width / 2, height / 2), text, font=final_font,
-                             fill=1, anchor="mm")
-    return img.convert("RGB")
+    return _draw_centered(font, text, width, height,
+                          _dataset_caps(width, max_font_size),
+                          mode="1").convert("RGB")
 
 
 def draw_glyph_beta(
@@ -113,21 +119,8 @@ def draw_glyph_beta(
     """Beta-demo variant: dataset font caps (140 -> 180 > 1280px -> 280 > 2048px)
     but no strip-height clamp (the caller fixes the height;
     demo_beta.py:181-224)."""
-    img = Image.new("RGB", (width, height), "black")
-    if not text or not text.strip():
-        return img
-    if width > 2048:
-        max_font_size = 280
-    elif width > 1280:
-        max_font_size = 180
-    size = max(_fit_font_size(font, text, width, height, max_font_size), 10)
-    try:
-        final_font = font.font_variant(size=size)
-    except Exception:
-        final_font = font
-    ImageDraw.Draw(img).text((width / 2, height / 2), text, font=final_font,
-                             fill="white", anchor="mm")
-    return img
+    return _draw_centered(font, text, width, height,
+                          _dataset_caps(width, max_font_size))
 
 
 def insert_spaces(text: str, num_spaces: int) -> str:

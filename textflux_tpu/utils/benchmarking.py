@@ -40,13 +40,18 @@ def time_step(step: Callable, x0, *, iters_hi: int = 12, iters_lo: int = 3,
         t_hi = _run_chained(step, x0, iters_hi)
         t_lo = _run_chained(step, x0, iters_lo)
         slopes.append((t_hi - t_lo) / (iters_hi - iters_lo))
-    # a service hiccup in an iters_lo run makes its slope NEGATIVE; min()
-    # over raw slopes then locked onto the clamp and reported 1 ns/step,
-    # silently winning every A/B. Keep only positive slopes; if every repeat
-    # was corrupted, fail loudly rather than return garbage.
+    # a big service hiccup in an iters_lo run makes its slope NEGATIVE (an
+    # early min() over raw slopes locked onto the clamp and reported
+    # 1 ns/step, silently winning every A/B). Keep only positive slopes;
+    # if every repeat was corrupted, fail loudly rather than return garbage.
     good = [s for s in slopes if s > 0]
     if not good:
         raise RuntimeError(
             f"time_step: all {repeats} repeats measured non-positive slopes "
             f"{slopes} — tunnel interference (see CLAUDE.md); re-run")
-    return min(good)
+    # median, not min: min() is robust only to hiccups in the iters_hi run
+    # (which INFLATE the slope); a hiccup in an iters_lo run smaller than
+    # true_t*(iters_hi-iters_lo) deflates the slope but keeps it positive,
+    # and min() locks onto that silent underestimate. The median of the
+    # positive slopes tolerates one corrupted repeat in either direction.
+    return float(np.median(good))
