@@ -49,9 +49,14 @@ def time_step(step: Callable, x0, *, iters_hi: int = 12, iters_lo: int = 3,
         raise RuntimeError(
             f"time_step: all {repeats} repeats measured non-positive slopes "
             f"{slopes} — tunnel interference (see CLAUDE.md); re-run")
-    # median, not min: min() is robust only to hiccups in the iters_hi run
-    # (which INFLATE the slope); a hiccup in an iters_lo run smaller than
-    # true_t*(iters_hi-iters_lo) deflates the slope but keeps it positive,
-    # and min() locks onto that silent underestimate. The median of the
-    # positive slopes tolerates one corrupted repeat in either direction.
-    return float(np.median(good))
+    # min, deliberately, not median: at the repeats=2 the benchmarks use, a
+    # median cannot reject anything — one hiccup-INFLATED repeat drags it up
+    # by half the hiccup (observed on-chip: the 4.4 ms mods-precompute
+    # measurement read 43 ms under a median). Hiccup exposure is
+    # proportional to wall time, so corruption overwhelmingly lands in the
+    # long iters_hi runs and inflates; min() is robust exactly to that
+    # side. The residual blind spot — a hiccup small enough to deflate an
+    # iters_lo slope while keeping it positive — is narrow
+    # (< true_t*(iters_hi-iters_lo) landing inside the short run) and is
+    # bounded by the positive filter above.
+    return min(good)
