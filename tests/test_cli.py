@@ -46,6 +46,66 @@ def test_multiline_flow(example):
     assert cropped.size == (96, 64)
 
 
+def test_run_inference_main_flag_plumbing(example, monkeypatch):
+    """Drive the REAL main() argv surface and assert the flags reach
+    from_pretrained: the '--quantize-mode implies --quantize' trap,
+    --staged-text -> defer_transformer, and --max-sequence-length ->
+    pipe_cfg. Previously no test invoked main() at all, so a regression in
+    any of this plumbing (e.g. quantize=args.quantize alone) shipped green
+    while a user passing only --quantize-mode silently served bf16."""
+    import sys
+
+    from textflux_tpu.cli import run_inference as M
+    from textflux_tpu.pipeline.fill import FillPipeline
+
+    img_p, mask_p, words_p, _ = example
+    words_p.write_text("hello\n")
+
+    captured = {}
+
+    class StopLoad(Exception):
+        pass
+
+    def fake_from_pretrained(model, **kw):
+        captured.clear()
+        captured.update(kw, model=model)
+        raise StopLoad
+
+    monkeypatch.setattr(FillPipeline, "from_pretrained", fake_from_pretrained)
+
+    base = ["prog", "--model", "m", "--image", str(img_p),
+            "--mask", str(mask_p), "--words", str(words_p)]
+
+    # mode alone implies quantization with that mode
+    monkeypatch.setattr(sys, "argv", base + ["--quantize-mode", "w8a8",
+                                             "--max-sequence-length", "128",
+                                             "--staged-text"])
+    with pytest.raises(StopLoad):
+        M.main()
+    assert captured["quantize"] == "w8a8"
+    assert captured["defer_transformer"] is True
+    assert captured["pipe_cfg"].max_sequence_length == 128
+
+    # --quantize alone defaults the mode
+    monkeypatch.setattr(sys, "argv", base + ["--quantize"])
+    with pytest.raises(StopLoad):
+        M.main()
+    assert captured["quantize"] == "weight_only"
+    assert captured["defer_transformer"] is False
+
+    # neither flag: no quantization
+    monkeypatch.setattr(sys, "argv", list(base))
+    with pytest.raises(StopLoad):
+        M.main()
+    assert captured["quantize"] is False
+
+    # input-path validation fires BEFORE any model load
+    monkeypatch.setattr(sys, "argv", base[:-1] + ["/nonexistent/words.txt"])
+    with pytest.raises(SystemExit):
+        M.main()
+    assert captured["quantize"] is False  # unchanged: load never reached
+
+
 def test_conditioning_dispatch(example):
     img_p, mask_p, words_p, _ = example
     original = Image.open(img_p).convert("RGB")

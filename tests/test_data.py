@@ -47,8 +47,15 @@ def test_anyword_dataset(anyword_fixture):
     assert s["pixel_values"].min() >= -1.0 and s["pixel_values"].max() <= 1.0
     assert "word0" in s["prompt"]
     assert s["bucket"] == (h, w)
-    # mask is empty over the glyph strip (top) region on most samples
-    assert s["mask"].max() <= 1.0
+    # the mask must actually mark the annotation polygon (an all-zero mask
+    # trains on nothing) and must be EMPTY over the glyph strip rows at the
+    # top: mask pixels over the strip would condition the model to inpaint
+    # its own glyph guidance. (The old `max() <= 1.0` assertion here was
+    # vacuous — true for any /255-normalized mask.)
+    assert s["mask"].max() == 1.0
+    strip_rows = max(1, int(w * 0.15625) // 2)   # safely inside the strip
+    assert s["mask"][:strip_rows].max() == 0.0
+    assert s["mask"][strip_rows:].max() == 1.0   # polygon lies in the scene
 
 
 def test_combined_folder_dataset(tmp_path, rng):
@@ -80,6 +87,37 @@ def test_bucketed_loader(anyword_fixture):
     assert b["pixel_values"].shape[0] == 1 and b["pixel_values"].shape[1] == 2
     assert b["mask"].shape[:2] == (1, 2)
     assert len(b["prompts"]) == 2
+
+
+def test_snap_bucket_upscale_warns_and_sizes(capsys):
+    """The round-4 silent-failure mode, pinned: a short side below (or
+    anywhere under) the quant is UPSCALED to it — the canvas the model
+    trains on differs from the serving canvas and the model scores at
+    chance with no error anywhere. The one-time warning is the only
+    user-visible signal; it must fire on ANY rounded-up short side."""
+    from textflux_tpu.data.dataset import _snap_bucket
+
+    _snap_bucket._warned = False
+    out = _snap_bucket(Image.new("RGB", (64, 64)), 128)
+    assert out.size == (64, 128)            # the 2x stretch itself
+    assert "upscales" in capsys.readouterr().out
+
+    # the 1.6x case: short side in (quant/2, quant) must ALSO warn
+    _snap_bucket._warned = False
+    out = _snap_bucket(Image.new("RGB", (100, 80)), 128)
+    assert out.size == (96, 128)
+    assert "upscales" in capsys.readouterr().out
+
+    # warn-once: the second call stays silent
+    _snap_bucket(Image.new("RGB", (64, 64)), 128)
+    assert "upscales" not in capsys.readouterr().out
+
+    # no upscale -> no warning; quant 32 is exact for //32 canvases
+    _snap_bucket._warned = False
+    out = _snap_bucket(Image.new("RGB", (512, 384)), 128)
+    assert out.size == (512, 384)
+    assert capsys.readouterr().out == ""
+    assert _snap_bucket(Image.new("RGB", (64, 64)), 32).size == (64, 64)
 
 
 def test_bucketed_loader_epoch_reshuffle(anyword_fixture):

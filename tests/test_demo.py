@@ -70,6 +70,46 @@ def test_ui_click_callbacks_match_wiring(pipe, rng):
 
     assert SUPPORTED_GRADIO.startswith("3.")
 
+    # Derive the expected arities from build_ui's ACTUAL wiring via a stub
+    # gradio (hand-duplicating '6' and '3' here could not catch a component
+    # added to the click inputs without updating the callback).
+    import sys
+    import types
+
+    recorded = []
+
+    class _Comp:
+        def __init__(self, *a, **k):
+            pass
+
+        def click(self, fn, inputs, outputs):
+            recorded.append((fn, list(inputs)))
+
+    class _Ctx(_Comp):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    stub = types.ModuleType("gradio")
+    stub.__version__ = "3.50.1"
+    for name in ("Image", "Textbox", "Slider", "Number", "Button", "Markdown"):
+        setattr(stub, name, _Comp)
+    for name in ("Blocks", "Tab"):
+        setattr(stub, name, _Ctx)
+    sys.modules["gradio"] = stub
+    try:
+        from textflux_tpu.cli.demo import build_ui
+
+        build_ui(pipe)
+    finally:
+        del sys.modules["gradio"]
+    assert len(recorded) == 2
+    for fn, inputs in recorded:
+        assert len(inspect.signature(fn).parameters) == len(inputs), \
+            (fn, len(inputs))
+
     cb = _custom_click(pipe, demo_custom_beta)
     # [original, words, steps, guidance, seed, overshoot_c] — 6 components
     assert len(inspect.signature(cb).parameters) == 6

@@ -89,6 +89,41 @@ def test_ocr_harness_with_stub_recognizer(gt_fixture):
     assert metrics["ned"] < 1.0
 
 
+def test_eval_ocr_cli_main(gt_fixture, tmp_path, monkeypatch):
+    """Drive the REAL eval_ocr main(): the module:callable recognizer spec
+    (incl. the ':recognize' default attr), ppocr_keys charset parsing (a
+    charset line holding a space char must survive — strip() instead of
+    rstrip('\\n') would drop it and shift every char id), and --report
+    writing. Previously only evaluate_directory was tested in-process."""
+    import sys
+
+    jp, imgs, _ = gt_fixture
+    stub_dir = tmp_path / "stubmod"
+    stub_dir.mkdir()
+    (stub_dir / "stubrec.py").write_text(
+        "def recognize(crop):\n    return 'gt0'\n")
+    # ppocr_keys format: one char per line; include a literal space line
+    charset = tmp_path / "keys.txt"
+    charset.write_text("g\nt\n0\n1\n2\n \n", encoding="utf-8")
+
+    from textflux_tpu.cli import eval_ocr as EO
+
+    assert EO.load_charset(str(charset))[" "] == 5  # space char preserved
+
+    monkeypatch.syspath_prepend(str(stub_dir))
+    report = tmp_path / "report.json"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--images-dir", imgs, "--json-path", jp,
+        "--recognizer", "stubrec",          # default attr -> :recognize
+        "--charset", str(charset), "--report", str(report),
+    ])
+    EO.main()
+    metrics = json.loads(report.read_text())
+    assert metrics["count"] == 3
+    assert metrics["seq_acc"] == pytest.approx(1 / 3)   # only gt0 matches
+    assert 0.0 < metrics["ned"] < 1.0
+
+
 @pytest.fixture()
 def two_bucket_fixture(tmp_path, rng):
     """5 items across two distinct //32 resolution buckets."""
@@ -246,14 +281,19 @@ def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
     from textflux_tpu.pipeline.fill import FillPipeline
     from tests.helpers import tiny_pipeline
 
-    pipe = tiny_pipeline()
     captured = {}
 
     def fake_from_pretrained(cls, *a, mesh=None, **k):
+        # a FRESH pipe per load: reusing one object would leave the second
+        # ("unsharded") run on the first run's tp-permuted weights and
+        # tp-bound jits — both runs would then share the tensor-parallel
+        # compute path and a tp bug would corrupt them identically,
+        # voiding the comparison (tiny_pipeline is seed-deterministic)
         captured["mesh"] = mesh
+        p = tiny_pipeline()
         if mesh is not None:
-            pipe.shard_for_serving(mesh)
-        return pipe
+            p.shard_for_serving(mesh)
+        return p
 
     monkeypatch.setattr(FillPipeline, "from_pretrained",
                         classmethod(fake_from_pretrained))
@@ -266,7 +306,8 @@ def test_run_eval_cli_mesh_sharded(monkeypatch, two_bucket_fixture):
     report = json.loads((tmp / "sharded" / "failures.json").read_text())
     assert report["done"] == 5 and report["failed"] == 0
 
-    pipe.mesh = None  # unshard the batch path for the comparison run
+    # comparison run gets its own fresh, genuinely unsharded pipe via
+    # fake_from_pretrained (mesh=None -> no shard_for_serving call)
     RE.main([
         "--model", "unused", "--json-path", jp, "--original-images-dir", imgs,
         "--output-dir", str(tmp / "unsharded"), "--steps", "2",

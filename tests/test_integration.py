@@ -121,7 +121,60 @@ def test_train_cli_end_to_end(tiny_checkpoint, tmp_path, rng):
     args2[args2.index("--max-train-steps") + 1] = "3"
     main(args2 + ["--resume-from-checkpoint", "latest"])
     log2 = (out_dir / "train_log.jsonl").read_text().strip().splitlines()
-    assert json.loads(log2[-1])["step"] == 3
+    steps = [json.loads(l)["step"] for l in log2]
+    # the whole file must be ONE strictly increasing pass: a broken resume
+    # that fresh-initializes at step 0 also ends at step 3 and keeps the
+    # last-line assertion green, but re-appends steps 1..3 -> [1,2,1,2,3]
+    assert steps == [1, 2, 3], steps
+
+
+def test_train_cli_schedule_shift_reaches_train_config(
+        tiny_checkpoint, tmp_path, monkeypatch, rng):
+    """The args -> TrainConfig link: run the REAL cli.train main with a spy
+    on make_train_step and assert the tc it receives carries the
+    --schedule-shift value. Deleting `schedule_shift=args.schedule_shift`
+    from the TrainConfig construction must fail a test, not silently
+    re-create the round-4 undertraining (the parsing + math-identity test
+    in test_training.py cannot see this link)."""
+    from textflux_tpu.cli.train import main
+    from textflux_tpu.training import train as training_mod
+
+    seen = {}
+    orig = training_mod.make_train_step
+
+    def spy(flux_cfg, vae_cfg, tc, tx, **kw):
+        seen["schedule_shift"] = tc.schedule_shift
+        return orig(flux_cfg, vae_cfg, tc, tx, **kw)
+
+    monkeypatch.setattr(training_mod, "make_train_step", spy)
+
+    data_dir = tmp_path / "ss_data"
+    (data_dir / "mask").mkdir(parents=True)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+        data_dir / "s_0.png")
+    Image.fromarray(np.full((64, 64), 255, np.uint8)).save(
+        data_dir / "mask" / "s_0_mask.png")
+    (data_dir / "s_0.txt").write_text("x\n")
+    main([
+        "--model", tiny_checkpoint, "--data-dir", str(data_dir),
+        "--resolution", "64", "--output-dir", str(tmp_path / "ss_out"),
+        "--max-train-steps", "1", "--max-sequence-length", "16",
+        "--train-batch-size", "1", "--grad-accum", "1",
+        "--log-every", "1", "--mesh", "1,1,1", "--mode", "attn",
+        "--schedule-shift", "1.75",
+    ])
+    assert seen.get("schedule_shift") == pytest.approx(1.75)
+
+    # the too-small-dataset guard: 1 sample cannot fill the default
+    # batch-size x grad-accum(8) — must error loudly, not spin forever
+    # re-iterating empty epochs (the pre-guard behavior)
+    with pytest.raises(SystemExit, match="one optimizer step needs"):
+        main([
+            "--model", tiny_checkpoint, "--data-dir", str(data_dir),
+            "--resolution", "64", "--output-dir", str(tmp_path / "ss_out2"),
+            "--max-train-steps", "1", "--max-sequence-length", "16",
+            "--log-every", "1", "--mesh", "1,1,1", "--mode", "attn",
+        ])
 
 
 def test_train_cli_lora(tiny_checkpoint, tmp_path, rng):
@@ -243,12 +296,30 @@ def test_quantized_t5_loads_and_is_close(tiny_checkpoint):
     from textflux_tpu.config import PipelineConfig
     from textflux_tpu.pipeline.fill import FillPipeline
 
+    from textflux_tpu.io import quantize as QZ
+
+    calls = []
+    orig_qt = QZ.quantize_tree
+
+    def spy(tree, **kw):
+        calls.append(kw)
+        return orig_qt(tree, **kw)
+
     cfgp = PipelineConfig(num_inference_steps=2, max_sequence_length=16)
-    ref_pipe = FillPipeline.from_pretrained(
-        tiny_checkpoint, dtype=jnp.float32, pipe_cfg=cfgp, attn_impl="xla")
-    q_pipe = FillPipeline.from_pretrained(
-        tiny_checkpoint, dtype=jnp.float32, pipe_cfg=cfgp, attn_impl="xla",
-        quantize_t5=True)
+    QZ.quantize_tree = spy
+    try:
+        ref_pipe = FillPipeline.from_pretrained(
+            tiny_checkpoint, dtype=jnp.float32, pipe_cfg=cfgp, attn_impl="xla")
+        assert not calls, "quantize_tree ran without any quantize flag"
+        q_pipe = FillPipeline.from_pretrained(
+            tiny_checkpoint, dtype=jnp.float32, pipe_cfg=cfgp, attn_impl="xla",
+            quantize_t5=True)
+        # the FLAG must actually route the T5 through quantize_tree (the
+        # hand re-quant below would otherwise hide a from_pretrained that
+        # ignores quantize_t5 entirely)
+        assert any(kw.get("mode") == "weight_only" for kw in calls), calls
+    finally:
+        QZ.quantize_tree = orig_qt
     # tiny T5 weights are below the quantize_tree min_size; force by re-quant
     from textflux_tpu.io.quantize import quantize_tree
     q_pipe.t5_params = quantize_tree(ref_pipe.t5_params, min_size=0,
@@ -322,4 +393,10 @@ def test_train_cli_preemption_checkpoint(tiny_checkpoint, tmp_path, rng):
     lines2 = [json.loads(l) for l in log.read_text().strip().splitlines()]
     assert lines2[-1]["step"] == stop_step + 1
     assert np.isfinite(lines2[-1]["loss"])
+    # the resumed run must CONTINUE, not retrain: every line it appended
+    # has step > stop_step (a fresh-init "resume" re-logs steps 1..N and
+    # still satisfies the last-line checks above)
+    step_lines = [l["step"] for l in lines2 if "step" in l and "loss" in l]
+    assert step_lines == sorted(step_lines) and \
+        len(step_lines) == len(set(step_lines)), step_lines
     assert (out_dir / "transformer" / "config.json").exists()

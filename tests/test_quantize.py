@@ -63,11 +63,13 @@ def test_full_model_quantized_output_close(rng):
         jnp.array([0.5]), jnp.array([4.0]),
         jnp.asarray(cos), jnp.asarray(sin),
     )
-    ref = flux_apply(params, FLUX_TINY, *args, attn_impl="xla")
-    out = flux_apply(qparams, FLUX_TINY, *args, attn_impl="xla")
-    # int8 weight quantization noise, should stay well-correlated
-    err = np.abs(np.asarray(out) - np.asarray(ref))
-    assert err.mean() < 0.05 * np.abs(np.asarray(ref)).mean() + 0.05
+    ref = np.asarray(flux_apply(params, FLUX_TINY, *args, attn_impl="xla"))
+    out = np.asarray(flux_apply(qparams, FLUX_TINY, *args, attn_impl="xla"))
+    # int8 weight quantization noise: PURELY relative bound (measured
+    # rel_l2 0.54%; 3% gives 5.5x headroom). The old additive +0.05 slack
+    # dominated whenever |ref| was small and permitted >50% relative error.
+    rel_l2 = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel_l2 < 0.03, rel_l2
 
 
 def test_full_width_int8_divergence_bounded(rng):

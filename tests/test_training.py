@@ -394,6 +394,32 @@ def test_schedule_shift_flag_plumbs_to_density():
                        atol=1e-6)
 
 
+def test_schedule_shift_changes_the_loss(rng):
+    """The tc -> loss link: make_train_step must actually consume
+    tc.schedule_shift (a hardcoded shift in flow_matching_loss would keep
+    the flag-parsing test above green while reverting the round-4 fix).
+    Extreme shifts push the sampled sigmas toward opposite ends, so the
+    same batch/key must produce measurably different losses."""
+    params = init_flux_params(jax.random.PRNGKey(0), FLUX_TINY)
+    vae_params = V.init_vae_params(jax.random.PRNGKey(1), VAE_TINY)
+    batch = _batch(rng)
+    losses = {}
+    for shift in (0.05, 40.0):
+        tc = TR.TrainConfig(grad_accum=2, remat=True, learning_rate=1e-3,
+                            schedule_shift=shift)
+        tx = TR.make_optimizer(tc)
+        step = jax.jit(TR.make_train_step(FLUX_TINY, VAE_TINY, tc, tx,
+                                          attn_impl="xla"))
+        _, _, metrics = step(params, tx.init(params),
+                             TR.all_trainable_mask(params), vae_params,
+                             batch, jax.random.PRNGKey(2))
+        losses[shift] = float(metrics["loss"])
+    assert np.isfinite(losses[0.05]) and np.isfinite(losses[40.0])
+    assert losses[0.05] != pytest.approx(losses[40.0], rel=1e-3), losses
+
+
+
+
 def test_lr_schedule_reference_shapes():
     """cosine_with_restarts / polynomial match the diffusers get_scheduler
     semantics the reference delegates to (parser_helper.py --lr_num_cycles /

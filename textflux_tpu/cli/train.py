@@ -385,6 +385,19 @@ def main(argv=None):
                 state = restored
                 print(f"resumed from step {state['step']}")
 
+        samples_per_batch = args.train_batch_size * args.grad_accum
+        if len(dataset) < samples_per_batch:
+            # without this, the epoch loop below spins FOREVER: every epoch
+            # yields zero full batches (shape-uniform batches are required,
+            # partials are dropped) and no step ever runs — observed as a
+            # silent infinite loop with the default --grad-accum 8 on a
+            # tiny dataset
+            raise SystemExit(
+                f"dataset has {len(dataset)} sample(s) but one optimizer "
+                f"step needs --train-batch-size x --grad-accum = "
+                f"{samples_per_batch}; reduce them or add data (and note "
+                f"per-bucket batches must FILL — mixed-resolution data "
+                f"needs enough samples per bucket, see --bucket-quant)")
         loader = BucketedLoader(
             dataset, batch_size=args.train_batch_size,
             grad_accum=args.grad_accum, seed=args.seed,
@@ -435,7 +448,9 @@ def main(argv=None):
         t_start = time.time()
 
         while step < args.max_train_steps:
+            epoch_batches = 0
             for batch in loader:
+                epoch_batches += 1
                 if step >= args.max_train_steps:
                     break
                 cids = np.concatenate([clip_tok(p) for p in batch["clip_prompts"]])
@@ -482,6 +497,16 @@ def main(argv=None):
                     break
             if preempt["seen"]:
                 break
+            if epoch_batches == 0:
+                # enough samples overall, but no single (H, W) bucket ever
+                # filled a batch — the same silent-infinite-loop mode as the
+                # too-small-dataset case above, reachable with
+                # mixed-resolution data at B>1 (see --bucket-quant)
+                raise SystemExit(
+                    "a full data epoch produced zero full batches: no "
+                    "resolution bucket reached --train-batch-size x "
+                    "--grad-accum samples; coarsen --bucket-quant, reduce "
+                    "the batch settings, or add data per bucket")
 
         if prev_sigterm is not None:
             signal.signal(signal.SIGTERM, prev_sigterm)
